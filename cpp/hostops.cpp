@@ -1,0 +1,164 @@
+// Native host-side data-path kernels.
+//
+// The reference keeps its hot device kernels in CUDA and leaves the host
+// data path (per-epoch chunk generation, metric voxelization, coordinate
+// dedup) in pure numpy (lib/dataset.py:204-252, lib/pc_util.py:39-51,
+// scripts/eval.py:40-46). On TPU the device side moved to XLA/Pallas; this
+// file is the native equivalent for the HOST hot loops, which otherwise
+// throttle the input pipeline at 1201 scenes/epoch:
+//
+//   - chunk_scan: one fused pass over a scene computing the crop mask, the
+//     annotated-point count, and the 31x31x62 voxel occupancy of the tight
+//     crop (numpy needs several passes plus a sort-based unique).
+//   - voxel_first_occurrence: 0.02m surface-voxel dedup via open-addressing
+//     hash, O(N) (numpy: O(N log N) sort in np.unique).
+//   - coord_first_occurrence: exact-row coordinate dedup, O(N).
+//
+// Built as a plain shared library (no Python headers); bound via ctypes in
+// pointnet2_scannet_tpu/utils/native.py with a numpy fallback when the
+// library has not been compiled.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// One fused scan used by the chunk-validity loop (lib/dataset.py:219-240
+// semantics). Returns the number of points inside [lo-margin, hi+margin];
+// fills mask_out (uint8, length n). Outputs:
+//   annotated_out: #points inside crop with label > 0
+//   occupied_out:  #distinct occupied voxels of the 31x31x62 grid over the
+//                  TIGHT crop ([lo-0.01, hi+0.01]), voxel id formula
+//                  ceil((p-lo)/(hi-lo)*[31,31,62]) as in dataset.py:236-238
+int64_t chunk_scan(const float* xyz,       // (n, 3) row-major
+                   const float* labels,    // (n,) semantic labels
+                   int64_t n,
+                   const float* lo,        // (3,) crop min (curmin)
+                   const float* hi,        // (3,) crop max (curmax)
+                   float margin,           // crop slack (0.2)
+                   uint8_t* mask_out,      // (n,) 1 = inside loose crop
+                   int64_t* annotated_out,
+                   int64_t* occupied_out) {
+  int64_t inside = 0, annotated = 0;
+  const float tight = 0.01f;
+  // voxel coords run 0..32 per xy axis and 0..62 in z (the tight crop
+  // extends 0.01 past hi, so ceil can land one cell beyond the grid) —
+  // max linear id 32*31*62 + 32*62 + 62 = 63550; the same out-of-grid and
+  // collision behavior numpy's linear-id formula has is replicated exactly
+  std::vector<uint8_t> vox(65536, 0);
+  int64_t occupied = 0;
+  const float ex = hi[0] - lo[0], ey = hi[1] - lo[1], ez = hi[2] - lo[2];
+  for (int64_t i = 0; i < n; ++i) {
+    const float x = xyz[i * 3], y = xyz[i * 3 + 1], z = xyz[i * 3 + 2];
+    const bool in_loose = x >= lo[0] - margin && x <= hi[0] + margin &&
+                          y >= lo[1] - margin && y <= hi[1] + margin &&
+                          z >= lo[2] - margin && z <= hi[2] + margin;
+    mask_out[i] = in_loose ? 1 : 0;
+    if (!in_loose) continue;
+    ++inside;
+    if (labels[i] > 0.0f) ++annotated;
+    const bool in_tight = x >= lo[0] - tight && x <= hi[0] + tight &&
+                          y >= lo[1] - tight && y <= hi[1] + tight &&
+                          z >= lo[2] - tight && z <= hi[2] + tight;
+    if (in_tight && ex > 0 && ey > 0 && ez > 0) {
+      // match numpy bit-for-bit: (p - lo)/extent evaluates in float32 (the
+      // inputs' dtype), the *[31,31,62] multiply and ceil in float64
+      auto cdim = [](float v, float l, float e, double s) {
+        const float r = (v - l) / e;
+        const double t = (double)r * s;
+        int64_t c = (int64_t)t;          // trunc toward zero == ceil for t<=0
+        if (t > 0 && (double)c < t) ++c; // ceil for positive t
+        return c;
+      };
+      int64_t vx = cdim(x, lo[0], ex, 31.0);
+      int64_t vy = cdim(y, lo[1], ey, 31.0);
+      int64_t vz = cdim(z, lo[2], ez, 62.0);
+      int64_t id = vx * 31 * 62 + vy * 62 + vz;
+      if (id >= 0 && id < (int64_t)vox.size() && !vox[id]) {
+        vox[id] = 1;
+        ++occupied;
+      }
+    }
+  }
+  *annotated_out = annotated;
+  *occupied_out = occupied;
+  return inside;
+}
+
+static inline uint64_t mix64(uint64_t h) {
+  h ^= h >> 33;
+  h *= 0xff51afd7ed558ccdULL;
+  h ^= h >> 33;
+  h *= 0xc4ceb9fe1a85ec53ULL;
+  h ^= h >> 33;
+  return h;
+}
+
+// First-occurrence unique over int64 keys (open addressing), preserving the
+// reference's representative-point semantics (pc_util.py:39-51 via
+// np.unique(return_index) = first occurrence). Writes the indices of first
+// occurrences into out_idx (capacity n) and returns their count. out_idx is
+// emitted in ascending KEY order? No — np.unique sorts by key; the metric
+// formulas only compare label columns voxel-by-voxel and intersect uvidx
+// sets, so ORDER must pair (uvidx, uvlabel) consistently. We emit in
+// first-encounter order together with the keys; the Python wrapper sorts by
+// key to match np.unique exactly.
+int64_t unique_first_occurrence(const int64_t* keys, int64_t n,
+                                int64_t* out_idx, int64_t* out_keys) {
+  // table size: next power of two >= 2n
+  uint64_t cap = 16;
+  while (cap < (uint64_t)(n * 2 + 1)) cap <<= 1;
+  std::vector<int64_t> slot(cap, -1);  // stores index into keys[]
+  const uint64_t maskc = cap - 1;
+  int64_t count = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t k = keys[i];
+    uint64_t h = mix64((uint64_t)k) & maskc;
+    for (;;) {
+      int64_t s = slot[h];
+      if (s == -1) {
+        slot[h] = i;
+        out_idx[count] = i;
+        out_keys[count] = k;
+        ++count;
+        break;
+      }
+      if (keys[s] == k) break;  // already seen; first occurrence kept
+      h = (h + 1) & maskc;
+    }
+  }
+  return count;
+}
+
+// Exact-row coordinate dedup (first occurrence), the scripts/eval.py:40-46
+// filter. Treats each (x,y,z) float32 row as a 96-bit key.
+int64_t coord_first_occurrence(const float* coords, int64_t n,
+                               int64_t* out_idx) {
+  uint64_t cap = 16;
+  while (cap < (uint64_t)(n * 2 + 1)) cap <<= 1;
+  std::vector<int64_t> slot(cap, -1);
+  const uint64_t maskc = cap - 1;
+  int64_t count = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t a, b, c;
+    std::memcpy(&a, coords + i * 3, 4);
+    std::memcpy(&b, coords + i * 3 + 1, 4);
+    std::memcpy(&c, coords + i * 3 + 2, 4);
+    const uint64_t k1 = ((uint64_t)a << 32) | b;
+    uint64_t h = mix64(k1 ^ mix64((uint64_t)c)) & maskc;
+    for (;;) {
+      int64_t s = slot[h];
+      if (s == -1) {
+        slot[h] = i;
+        out_idx[count++] = i;
+        break;
+      }
+      if (std::memcmp(coords + s * 3, coords + i * 3, 12) == 0) break;
+      h = (h + 1) & maskc;
+    }
+  }
+  return count;
+}
+
+}  // extern "C"

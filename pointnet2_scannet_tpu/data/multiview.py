@@ -1,0 +1,151 @@
+"""Multiview 2D->3D feature projection.
+
+TPU-native counterpart of the reference ProjectionHelper + the three offline
+multiview stages (lib/projection.py:6-279, scripts/compute_multiview_*.py,
+scripts/project_multiview_features.py):
+
+  1. per-frame ENet features (models/enet.py) at 32x41x128,
+  2. per-frame point->pixel correspondence under a pinhole camera with a
+     depth-consistency test (|d_pixel - d_point| <= accuracy, projection.py:242),
+  3. per-scene first-writer-wins fusion of frame features onto points, frames
+     visited in decreasing coverage order (project_multiview_features.py:131-155),
+     stored per scene in one HDF5 file consumed by the datasets.
+
+Redesign for TPU/XLA: the reference emits dynamic-length packed index vectors
+`[count, idx...]` (projection.py:249-254) — here each frame yields a FIXED-shape
+(N,) bool valid mask + (N,) int32 pixel index, so the whole correspondence
+computation is one jit/vmap-able program with static shapes. The reference's
+explicit frustum cull (projection.py:122-155) is subsumed by the pixel-bounds
+and depth-range checks below (same predicate up to corner rounding).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# intrinsics for the 41x32 depth resolution
+# (scripts/compute_multiview_projection.py:28-29)
+DEFAULT_INTRINSIC = ((37.01983, 0.0, 20.0), (0.0, 38.52470, 15.5))
+DEFAULT_IMAGE_DIMS = (41, 32)  # (W, H)
+DEFAULT_DEPTH_MIN = 0.1
+DEFAULT_DEPTH_MAX = 4.0
+DEFAULT_ACCURACY = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    fx: float = DEFAULT_INTRINSIC[0][0]
+    fy: float = DEFAULT_INTRINSIC[1][1]
+    cx: float = DEFAULT_INTRINSIC[0][2]
+    cy: float = DEFAULT_INTRINSIC[1][2]
+    width: int = DEFAULT_IMAGE_DIMS[0]
+    height: int = DEFAULT_IMAGE_DIMS[1]
+    depth_min: float = DEFAULT_DEPTH_MIN
+    depth_max: float = DEFAULT_DEPTH_MAX
+    accuracy: float = DEFAULT_ACCURACY
+
+
+def compute_correspondence(
+    points: jnp.ndarray,
+    depth: jnp.ndarray,
+    camera_to_world: jnp.ndarray,
+    cam: CameraConfig = CameraConfig(),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Point->pixel correspondence for one frame (jittable, fixed shapes).
+
+    Args:
+      points: (N, 3) world coordinates.
+      depth: (H, W) depth map at the feature resolution.
+      camera_to_world: (4, 4) camera pose.
+
+    Returns:
+      (valid, pix): (N,) bool — point projects into the frame, within the
+      depth range, and consistent with the measured depth; (N,) int32 linear
+      pixel index y * W + x (0 where invalid).
+    """
+    world_to_camera = jnp.linalg.inv(camera_to_world)
+    ones = jnp.ones((points.shape[0], 1), points.dtype)
+    pc = jnp.concatenate([points, ones], axis=1)  # (N, 4)
+    cam_pts = pc @ world_to_camera.T  # (N, 4)
+    x, y, z = cam_pts[:, 0], cam_pts[:, 1], cam_pts[:, 2]
+
+    # pinhole projection with rounding to pixel centers (projection.py:228-230)
+    px = jnp.round(x * cam.fx / z + cam.cx).astype(jnp.int32)
+    py = jnp.round(y * cam.fy / z + cam.cy).astype(jnp.int32)
+
+    in_image = (px >= 0) & (py >= 0) & (px < cam.width) & (py < cam.height)
+    in_depth_range = (z >= cam.depth_min) & (z <= cam.depth_max)
+    pix = jnp.where(in_image, py * cam.width + px, 0)
+
+    depth_flat = depth.reshape(-1)
+    d_at_pix = depth_flat[pix]
+    consistent = (
+        (d_at_pix >= cam.depth_min)
+        & (d_at_pix <= cam.depth_max)
+        & (jnp.abs(d_at_pix - z) <= cam.accuracy)
+    )
+    valid = in_image & in_depth_range & consistent
+    return valid, jnp.where(valid, pix, 0).astype(jnp.int32)
+
+
+compute_correspondence_batch = jax.jit(
+    jax.vmap(compute_correspondence, in_axes=(None, 0, 0, None)),
+    static_argnames=("cam",),
+)
+
+
+def project_frame_features(
+    features: np.ndarray, valid: np.ndarray, pix: np.ndarray, num_points: int
+) -> np.ndarray:
+    """Scatter one frame's (H, W, C) features onto (num_points, C) slots
+    (counterpart of ProjectionHelper.project, projection.py:259-279)."""
+    H, W, C = features.shape
+    out = np.zeros((num_points, C), features.dtype)
+    flat = features.reshape(H * W, C)
+    out[valid] = flat[pix[valid]]
+    return out
+
+
+def fuse_scene_features(
+    frame_features: np.ndarray,
+    valids: np.ndarray,
+    pixes: np.ndarray,
+) -> np.ndarray:
+    """First-writer-wins fusion over frames, most-covering frame first
+    (project_multiview_features.py:131-155).
+
+    Args:
+      frame_features: (F, H, W, C).
+      valids: (F, N) bool.
+      pixes: (F, N) int32.
+
+    Returns:
+      (N, C) fused features (zero where no frame covered the point).
+    """
+    F, H, W, C = frame_features.shape
+    N = valids.shape[1]
+    out = np.zeros((N, C), frame_features.dtype)
+    unwritten = np.ones(N, bool)
+    order = np.argsort(-valids.sum(axis=1), kind="stable")
+    for f in order:
+        take = valids[f] & unwritten
+        if not take.any():
+            continue
+        flat = frame_features[f].reshape(H * W, C)
+        out[take] = flat[pixes[f][take]]
+        unwritten &= ~valids[f]
+    return out
+
+
+def write_multiview_h5(path, scene_features: dict[str, np.ndarray]) -> None:
+    """Store per-scene (N, 128) fused features into one HDF5 file, keyed by
+    scene id (the layout lib/dataset.py:34-47 reads)."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        for sid, feats in scene_features.items():
+            f.create_dataset(sid, data=feats, compression="gzip")

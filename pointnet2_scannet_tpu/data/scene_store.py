@@ -1,0 +1,111 @@
+"""In-memory scene store and feature assembly.
+
+Mirrors the loading half of the reference datasets (lib/dataset.py:29-58 and
+:265-292): preprocessed scenes are (N, 11) float npy arrays laid out as
+[xyz, rgb(0-255), normal, instance_label, semantic_label] with semantic
+labels in 0..19 (preprocessing/collect_scannet_scenes.py:63-72), plus an
+optional per-scene (N, 128) multiview feature bank from one HDF5 file.
+
+One deliberate deviation (SURVEY.md quirk 1): the reference concatenates
+feature columns in a DIFFERENT order for chunked training
+([xyz, multiview, color, normal], lib/dataset.py:72-80) vs whole-scene eval
+([xyz, color, normal, multiview], :303-311) — a real train/eval skew for
+multiview configs. This framework uses [xyz, color, normal, multiview]
+everywhere.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from collections.abc import Sequence
+
+import numpy as np
+
+from pointnet2_scannet_tpu.config import NUM_CLASSES
+
+
+def compute_label_weights(
+    labels_per_scene: Sequence[np.ndarray], num_classes: int = NUM_CLASSES
+) -> np.ndarray:
+    """Inverse-log-frequency class weights: 1/log(1.2 + freq)
+    (lib/dataset.py:48-56)."""
+    counts = np.zeros(num_classes, np.float64)
+    for seg in labels_per_scene:
+        tmp, _ = np.histogram(seg, bins=range(num_classes + 1))
+        counts += tmp
+    freq = counts.astype(np.float32) / max(counts.sum(), 1.0)
+    return (1.0 / np.log(1.2 + freq)).astype(np.float32)
+
+
+def assemble_features(
+    scene: np.ndarray,
+    multiview: np.ndarray | None,
+    *,
+    use_color: bool,
+    use_normal: bool,
+    use_multiview: bool,
+) -> np.ndarray:
+    """Build the (N, 3 + C) input columns in canonical order
+    [xyz, color/255, normal, multiview]."""
+    cols = [scene[:, :3]]
+    if use_color:
+        cols.append(scene[:, 3:6] / 255.0)  # rgb to [0, 1] (dataset.py:69)
+    if use_normal:
+        cols.append(scene[:, 6:9])
+    if use_multiview:
+        if multiview is None:
+            raise ValueError("use_multiview=True but no multiview features given")
+        cols.append(multiview)
+    return np.concatenate(cols, axis=1).astype(np.float32)
+
+
+class SceneStore:
+    """Holds all scenes of a split in RAM (the reference does the same,
+    lib/dataset.py:29-47 — ScanNet preprocessed scenes are ~GBs total)."""
+
+    def __init__(
+        self,
+        scene_ids: Sequence[str],
+        scenes: dict[str, np.ndarray],
+        multiview: dict[str, np.ndarray] | None = None,
+        num_classes: int = NUM_CLASSES,
+        is_weighting: bool = True,
+    ):
+        self.scene_ids = list(scene_ids)
+        self.scenes = scenes
+        self.multiview = multiview or {}
+        self.num_classes = num_classes
+        if is_weighting:
+            self.label_weights = compute_label_weights(
+                [scenes[sid][:, 10] for sid in self.scene_ids], num_classes
+            )
+        else:
+            self.label_weights = np.ones(num_classes, np.float32)
+
+    @classmethod
+    def from_npy_dir(
+        cls,
+        scene_ids: Sequence[str],
+        preprocessed_dir: str | pathlib.Path,
+        multiview_h5: str | pathlib.Path | None = None,
+        **kwargs,
+    ) -> "SceneStore":
+        """Load `<dir>/<scene_id>.npy` files (+ optional multiview HDF5)."""
+        root = pathlib.Path(preprocessed_dir)
+        scenes = {sid: np.load(root / f"{sid}.npy") for sid in scene_ids}
+        multiview = None
+        if multiview_h5 is not None:
+            import h5py
+
+            multiview = {}
+            with h5py.File(multiview_h5, "r") as f:
+                for sid in scene_ids:
+                    multiview[sid] = f[sid][()]
+        return cls(scene_ids, scenes, multiview, **kwargs)
+
+    @classmethod
+    def from_scenes(cls, scenes: dict[str, np.ndarray], **kwargs) -> "SceneStore":
+        return cls(sorted(scenes), scenes, **kwargs)
+
+    def __len__(self) -> int:
+        return len(self.scene_ids)

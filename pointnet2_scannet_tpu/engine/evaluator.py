@@ -1,0 +1,175 @@
+"""Whole-scene sliding-window evaluation.
+
+Parity with the reference evaluator (scripts/eval.py:27-38, 126-221): each
+scene's column stack is pushed through the model in fixed-size minibatches,
+predictions are argmaxed and flattened, per-scene metrics are computed with
+coordinate dedup, and the global report masked-averages per-class metrics
+over the scenes where the class occurs.
+
+TPU adaptation: the reference splits into ragged leftover batches
+(torch.split); here the last minibatch is PADDED to the fixed batch size so
+one compiled program serves every scene, and pad rows are dropped before the
+metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from pointnet2_scannet_tpu.config import NUM_CLASSES, NYU_CLASSES
+from pointnet2_scannet_tpu.data.wholescene import WholeSceneDataset
+from pointnet2_scannet_tpu.engine import metrics as M
+
+
+@dataclasses.dataclass
+class SceneResult:
+    scene_id: str
+    point_acc: float
+    point_acc_per_class: np.ndarray
+    voxel_acc: float
+    voxel_acc_per_class: np.ndarray
+    voxel_cali_acc: float
+    point_miou: np.ndarray
+    voxel_miou: np.ndarray
+    acc_mask: np.ndarray
+    miou_mask: np.ndarray
+
+
+@dataclasses.dataclass
+class EvalReport:
+    """Global masked averages + per-class table (eval.py:194-221)."""
+
+    point_acc: float
+    point_acc_per_class: float
+    voxel_acc: float
+    voxel_acc_per_class: float
+    voxel_cali_acc: float
+    point_miou: float
+    voxel_miou: float
+    per_class_point_acc: np.ndarray
+    per_class_voxel_acc: np.ndarray
+    per_class_point_miou: np.ndarray
+    per_class_voxel_miou: np.ndarray
+    scenes: list[SceneResult]
+
+    def format_table(self) -> str:
+        lines = [
+            f"Point accuracy: {self.point_acc:.6f}",
+            f"Point accuracy per class: {self.point_acc_per_class:.6f}",
+            f"Voxel accuracy: {self.voxel_acc:.6f}",
+            f"Voxel accuracy per class: {self.voxel_acc_per_class:.6f}",
+            f"Calibrated voxel accuracy: {self.voxel_cali_acc:.6f}",
+            f"Point mIoU: {self.point_miou:.6f}",
+            f"Voxel mIoU: {self.voxel_miou:.6f}",
+            "",
+            f"{'class':<16}{'point_acc':>12}{'voxel_acc':>12}{'point_miou':>12}{'voxel_miou':>12}",
+        ]
+        for i, name in enumerate(NYU_CLASSES):
+            lines.append(
+                f"{name:<16}{self.per_class_point_acc[i]:>12.6f}"
+                f"{self.per_class_voxel_acc[i]:>12.6f}"
+                f"{self.per_class_point_miou[i]:>12.6f}"
+                f"{self.per_class_voxel_miou[i]:>12.6f}"
+            )
+        return "\n".join(lines)
+
+
+class WholeSceneEvaluator:
+    def __init__(
+        self,
+        apply_fn,
+        variables,
+        *,
+        batch_size: int = 32,
+        num_classes: int = NUM_CLASSES,
+    ):
+        self.variables = variables
+        self.batch_size = batch_size
+        self.num_classes = num_classes
+
+        def fwd(variables, points):
+            return apply_fn(variables, points, train=False)
+
+        self._fwd = jax.jit(fwd)
+
+    def predict_scene(self, feats: np.ndarray) -> np.ndarray:
+        """(S, npoints, 3+C) -> (S, npoints) predicted labels, batching S into
+        fixed-size padded minibatches."""
+        S = feats.shape[0]
+        B = self.batch_size
+        preds = []
+        for start in range(0, S, B):
+            chunk = feats[start : start + B]
+            pad = B - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros_like(chunk[:1].repeat(pad, 0))])
+            logits = self._fwd(self.variables, chunk)
+            p = np.asarray(jax.device_get(np.argmax(logits, axis=-1)))
+            preds.append(p[: chunk.shape[0] - pad] if pad else p)
+        return np.concatenate(preds, axis=0).astype(np.int64)
+
+    def eval_scene(self, scene_id: str, feats, labels, weights) -> SceneResult:
+        preds = self.predict_scene(feats)
+        coords = feats[..., :3].reshape(-1, 3)
+        preds_f = preds.reshape(-1)
+        targets_f = labels.reshape(-1).astype(np.int64)
+        weights_f = weights.reshape(-1)
+        pa, pa_pc, va, va_pc, cali, acc_mask = M.compute_acc(
+            coords, preds_f, targets_f, weights_f, self.num_classes
+        )
+        pm, vm, miou_mask = M.compute_miou(
+            coords, preds_f, targets_f, weights_f, self.num_classes
+        )
+        return SceneResult(
+            scene_id, pa, pa_pc, va, va_pc, cali, pm, vm, acc_mask, miou_mask
+        )
+
+    def evaluate(self, dataset: WholeSceneDataset, verbose: bool = True) -> EvalReport:
+        results = []
+        for scene_id, (feats, labels, weights) in dataset.iter_scenes():
+            r = self.eval_scene(scene_id, feats, labels, weights)
+            results.append(r)
+            if verbose:
+                print(
+                    f"{scene_id}: point_acc {r.point_acc:.4f} "
+                    f"voxel_miou {float(np.sum(r.voxel_miou * r.miou_mask) / max(np.sum(r.miou_mask), 1)):.4f}"
+                )
+        return self.aggregate(results)
+
+    def aggregate(self, results: list[SceneResult]) -> EvalReport:
+        """Masked per-class averaging over scenes (eval.py:194-206)."""
+        acc_masks = np.stack([r.acc_mask for r in results])
+        miou_masks = np.stack([r.miou_mask for r in results])
+
+        def masked_mean(per_scene, masks):
+            s = np.sum(per_scene * masks, axis=0)
+            d = np.maximum(np.sum(masks, axis=0), 1e-8)
+            return s / d
+
+        pc_pa = masked_mean(np.stack([r.point_acc_per_class for r in results]), acc_masks)
+        pc_va = masked_mean(np.stack([r.voxel_acc_per_class for r in results]), acc_masks)
+        pc_pm = masked_mean(np.stack([r.point_miou for r in results]), miou_masks)
+        pc_vm = masked_mean(np.stack([r.voxel_miou for r in results]), miou_masks)
+
+        def scene_mean(vals):
+            return float(np.mean(vals))
+
+        seen_any = acc_masks.sum(axis=0) > 0
+        seen_any_miou = miou_masks.sum(axis=0) > 0
+        return EvalReport(
+            point_acc=scene_mean([r.point_acc for r in results]),
+            point_acc_per_class=float(pc_pa[seen_any].mean()),
+            voxel_acc=scene_mean([r.voxel_acc for r in results]),
+            voxel_acc_per_class=float(pc_va[seen_any].mean()),
+            voxel_cali_acc=scene_mean([r.voxel_cali_acc for r in results]),
+            point_miou=float(pc_pm[seen_any_miou].mean()),
+            voxel_miou=float(pc_vm[seen_any_miou].mean()),
+            per_class_point_acc=pc_pa,
+            per_class_voxel_acc=pc_va,
+            per_class_point_miou=pc_pm,
+            per_class_voxel_miou=pc_vm,
+            scenes=results,
+        )

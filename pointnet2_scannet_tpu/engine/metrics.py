@@ -1,0 +1,165 @@
+"""Segmentation metrics.
+
+Two tiers:
+  1. Host "parity" metrics — exact re-implementations (vectorized) of the
+     reference metric library (scripts/eval.py:40-124): coordinate dedup,
+     point accuracy, per-class point/voxel accuracy, calibrated voxel
+     accuracy, point/voxel per-class IoU over 0.02m surface voxels with
+     representative-point voxel labels. Used at eval cadence.
+  2. On-device confusion-matrix accumulation — computed inside the jitted
+     train step so training never syncs device->host per iteration (the
+     reference's biggest throughput bug: a full .cpu() + numpy voxelization
+     EVERY training iteration, lib/solver.py:327-347). Per-iteration device
+     metrics skip the coordinate dedup (train chunks rarely duplicate
+     coords; the reference dedup is a no-op there too unless the resampler
+     duplicated points).
+
+Dedup note: the reference dedups by python string-hash of the printed coords
+(eval.py:42-44); here we dedup by exact row equality, which is the same set
+minus hash collisions, with the same first-occurrence-wins selection. The
+ORDER of the deduped points differs (ours: ascending original index; the
+reference's: ascending string hash — which is PYTHONHASHSEED-dependent, so
+its voxel representative points, and hence its voxel metrics, vary run to
+run in the 4th decimal). Ours is deterministic.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from pointnet2_scannet_tpu.config import NUM_CLASSES
+from pointnet2_scannet_tpu.utils.voxel import surface_voxel_labels
+
+
+# ------------------------------ host tier ---------------------------------
+
+
+def filter_points(coords, preds, targets, weights):
+    """Keep the first occurrence of every unique coordinate (eval.py:40-46).
+
+    Uses the native O(N) hash dedup (cpp/hostops.cpp) when built, else a
+    sort-based numpy unique; the selected index SET is identical.
+    """
+    from pointnet2_scannet_tpu.utils import native
+
+    ids = native.coord_first_occurrence(np.asarray(coords, np.float32))
+    return coords[ids], preds[ids], targets[ids], weights[ids]
+
+
+def _per_class_counts(preds, targets, num_classes):
+    seen = np.zeros(num_classes, np.int64)
+    correct = np.zeros(num_classes, np.int64)
+    np.add.at(seen, targets, 1)
+    np.add.at(correct, targets[preds == targets], 1)
+    return seen, correct
+
+
+def compute_acc(coords, preds, targets, weights, num_classes: int = NUM_CLASSES):
+    """Point/voxel/calibrated accuracies (parity with eval.py:48-99).
+
+    Returns:
+      (pointacc, pointacc_per_class, voxacc, voxacc_per_class, voxcaliacc,
+       seen_mask) — per-class arrays are zero for unseen classes and the mask
+      marks classes present in the targets.
+    """
+    coords, preds, targets, weights = filter_points(coords, preds, targets, weights)
+    seen_classes = np.unique(targets)
+    mask = np.zeros(num_classes)
+    mask[seen_classes] = 1
+
+    pointacc = np.sum(preds == targets) / float(targets.shape[0])
+    seen_pt, correct_pt = _per_class_counts(preds, targets, num_classes)
+
+    _, uvlabel, _ = surface_voxel_labels(
+        coords, np.stack([targets, preds], axis=1), res=0.02
+    )
+    voxacc = np.sum(uvlabel[:, 0] == uvlabel[:, 1]) / float(uvlabel.shape[0])
+    seen_vox, correct_vox = _per_class_counts(uvlabel[:, 1], uvlabel[:, 0], num_classes)
+
+    # calibrated: per-class voxel acc averaged with voxel label frequencies
+    # (eval.py:88-91)
+    caliweights = seen_vox.astype(np.float64)
+    caliweights = caliweights / caliweights.sum()
+    voxcaliacc = np.average(
+        correct_vox / (seen_vox.astype(np.float64) + 1e-8), weights=caliweights
+    )
+
+    pointacc_per_class = np.zeros(num_classes)
+    voxacc_per_class = np.zeros(num_classes)
+    for c in seen_classes:
+        pointacc_per_class[c] = correct_pt[c] / (seen_pt[c] + 1e-8)
+        voxacc_per_class[c] = correct_vox[c] / (seen_vox[c] + 1e-8)
+
+    return pointacc, pointacc_per_class, voxacc, voxacc_per_class, voxcaliacc, mask
+
+
+def compute_miou(coords, preds, targets, weights, num_classes: int = NUM_CLASSES):
+    """Point and voxel per-class IoU (parity with eval.py:101-124).
+
+    Returns (pointmiou, voxmiou, seen_mask) with zeros for unseen classes.
+    """
+    coords, preds, targets, weights = filter_points(coords, preds, targets, weights)
+    seen_classes = np.unique(targets)
+    mask = np.zeros(num_classes)
+    mask[seen_classes] = 1
+
+    _, uvlabel, _ = surface_voxel_labels(
+        coords, np.stack([targets, preds], axis=1), res=0.02
+    )
+
+    def iou(p, t):
+        out = np.zeros(num_classes)
+        for c in seen_classes:
+            inter = np.sum((p == c) & (t == c))
+            union = np.sum(p == c) + np.sum(t == c) - inter
+            out[c] = inter / (union + 1e-8)
+        return out
+
+    return iou(preds, targets), iou(uvlabel[:, 1], uvlabel[:, 0]), mask
+
+
+# ----------------------------- device tier ---------------------------------
+
+
+def confusion_matrix(
+    preds: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_classes: int = NUM_CLASSES,
+    row_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(num_classes, num_classes) confusion counts, rows = target class.
+
+    Pure jnp — runs inside jit; across data-parallel shards the result is
+    summed by the partitioner (it's a plain array output). `row_mask` (B,)
+    excludes padded batch rows from the counts.
+    """
+    flat = labels.reshape(-1) * num_classes + preds.reshape(-1)
+    if row_mask is None:
+        inc = jnp.ones_like(flat)
+    else:
+        inc = jnp.broadcast_to(
+            row_mask[:, None].astype(jnp.int32), labels.shape
+        ).reshape(-1)
+    counts = jnp.zeros(num_classes * num_classes, jnp.int32).at[flat].add(inc)
+    return counts.reshape(num_classes, num_classes)
+
+
+def confusion_to_point_metrics(cm: np.ndarray) -> dict[str, float]:
+    """Point accuracy / per-class accuracy / mIoU from a confusion matrix,
+    masked-averaged over seen classes like the solver reports
+    (lib/solver.py:339-346)."""
+    cm = np.asarray(cm, np.float64)
+    seen = cm.sum(axis=1)
+    mask = seen > 0
+    tp = np.diag(cm)
+    acc = tp.sum() / max(cm.sum(), 1.0)
+    per_class = np.where(mask, tp / np.maximum(seen, 1.0), 0.0)
+    union = seen + cm.sum(axis=0) - tp
+    iou = np.where(mask, tp / np.maximum(union, 1.0), 0.0)
+    denom = max(mask.sum(), 1)
+    return {
+        "point_acc": float(acc),
+        "point_acc_per_class": float(per_class.sum() / denom),
+        "point_miou": float(iou.sum() / denom),
+    }

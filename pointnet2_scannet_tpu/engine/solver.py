@@ -1,0 +1,260 @@
+"""Training engine.
+
+The TPU-native counterpart of the reference Solver (lib/solver.py:60-477):
+per-epoch chunk regeneration, train + val passes, StepLR-style decay,
+best-model checkpointing keyed on mean val voxel mIoU, TensorBoard-style
+scalar logs with an all_scalars.json export, and iter/epoch/best stdout
+reports with ETA.
+
+Deliberate redesigns (SURVEY.md §2.4/§5):
+  - The train step is ONE jitted SPMD program (forward+loss+backward+update+
+    confusion matrix); batches stream through a double-buffered host->device
+    prefetcher, so the device never blocks on the host between steps.
+  - Point-level training metrics come from on-device confusion matrices —
+    the reference instead syncs device->host and voxelizes with numpy EVERY
+    training iteration (lib/solver.py:225,327-347), its biggest throughput
+    bug. Voxel-level metrics (which need coordinate dedup + voxel hashing)
+    are computed on host at validation cadence, exactly like the reference's
+    formulas.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import time
+
+import jax
+import numpy as np
+
+from pointnet2_scannet_tpu.config import RunConfig
+from pointnet2_scannet_tpu.data.chunks import ChunkedSceneDataset
+from pointnet2_scannet_tpu.data.pipeline import BatchLoader, prefetch_to_device
+from pointnet2_scannet_tpu.engine import metrics as M
+from pointnet2_scannet_tpu.engine import train_state as ts
+from pointnet2_scannet_tpu.engine.checkpoint import save_checkpoint
+from pointnet2_scannet_tpu.engine.logging import ScalarLogger
+from pointnet2_scannet_tpu.parallel.mesh import batch_sharding, make_mesh
+from pointnet2_scannet_tpu.parallel.step import (
+    make_parallel_eval_step,
+    make_parallel_train_step,
+)
+from pointnet2_scannet_tpu.utils.eta import decode_eta
+
+ITER_REPORT = (
+    "epoch [{epoch}/{epochs}] iter [{iter}/{iters}] "
+    "loss {loss:.5f} point_acc {point_acc:.4f} point_miou {point_miou:.4f} "
+    "fetch {fetch:.3f}s step {step:.3f}s eta {eta_h}h {eta_m}m {eta_s}s"
+)
+EPOCH_REPORT = (
+    "epoch [{epoch}/{epochs}] done: train loss {train_loss:.5f} "
+    "val loss {val_loss:.5f} val point_miou {val_point_miou:.4f} "
+    "val voxel_miou {val_voxel_miou:.4f}"
+)
+BEST_REPORT = "best voxel_miou {voxel_miou:.4f} at epoch {epoch}"
+
+
+class Solver:
+    """Orchestrates training of a PointNet2SemSeg model on chunked scenes."""
+
+    def __init__(
+        self,
+        model,
+        train_dataset: ChunkedSceneDataset,
+        val_dataset: ChunkedSceneDataset | None,
+        config: RunConfig,
+        output_dir: str | pathlib.Path,
+        *,
+        mesh=None,
+        compute_voxel_metrics: bool = True,
+    ):
+        self.model = model
+        self.config = config
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.output_dir = pathlib.Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.compute_voxel_metrics = compute_voxel_metrics
+
+        tc = config.train
+        self.mesh = (
+            mesh
+            if mesh is not None
+            else make_mesh(tc.num_devices, batch_size=tc.batch_size)
+        )
+        self.batch_sharding = batch_sharding(self.mesh)
+
+        # train: drop the ragged trailing batch (padding would pollute the
+        # BatchNorm batch statistics with zero rows); val: pad it to the one
+        # compiled shape and mask the pad rows out of loss + metrics.
+        self.train_loader = BatchLoader(
+            train_dataset, tc.batch_size, seed=tc.seed, drop_last=True
+        )
+        self.val_loader = (
+            BatchLoader(val_dataset, tc.batch_size, seed=tc.seed, pad_last=True)
+            if val_dataset is not None
+            else None
+        )
+
+        steps_per_epoch = max(len(self.train_loader), 1)
+        schedule = ts.make_lr_schedule(
+            tc.lr, tc.decay_step, tc.decay_factor, steps_per_epoch
+        )
+        tx = ts.make_optimizer(schedule, tc.weight_decay)
+
+        num_classes = config.model.num_classes
+        rng = jax.random.key(tc.seed)
+        init_rng, self.dropout_rng = jax.random.split(rng)
+        c = 3 + config.data.input_channels
+        sample = np.zeros((1, config.data.npoints, c), np.float32)
+        self.state = ts.create_train_state(model, init_rng, sample, tx)
+
+        self._train_step = make_parallel_train_step(self.mesh, num_classes=num_classes)
+        self._eval_step = make_parallel_eval_step(self.mesh, num_classes=num_classes)
+        self.num_classes = num_classes
+
+        self.logger = ScalarLogger(self.output_dir)
+        self.best = {"epoch": -1, "voxel_miou": -1.0}
+        self._global_iter = 0
+        config.save(self.output_dir / "config.json")
+
+    # ------------------------------------------------------------------ train
+
+    def __call__(self, epochs: int | None = None, verbose: int | None = None):
+        tc = self.config.train
+        epochs = epochs if epochs is not None else tc.epochs
+        verbose = verbose if verbose is not None else tc.verbose
+        t_start = time.time()
+        for epoch in range(epochs):
+            self.train_dataset.generate_chunks()
+            if self.val_dataset is not None:
+                self.val_dataset.generate_chunks()
+
+            train_stats = self._run_train_epoch(epoch, epochs, verbose, t_start)
+            self.logger.add_scalars("train", train_stats, epoch)
+
+            if self.val_loader is not None:
+                val_stats = self._run_val_epoch()
+                self.logger.add_scalars("val", val_stats, epoch)
+                if val_stats.get("voxel_miou", -1.0) > self.best["voxel_miou"]:
+                    self.best = {"epoch": epoch, **val_stats}
+                    print(BEST_REPORT.format(voxel_miou=val_stats["voxel_miou"], epoch=epoch), flush=True)
+                    save_checkpoint(
+                        self.output_dir,
+                        "model_best",
+                        self.state,
+                        epoch=epoch,
+                        best=self.best,
+                        config_json=self.config.to_json(),
+                    )
+                print(
+                    EPOCH_REPORT.format(
+                        epoch=epoch + 1,
+                        epochs=epochs,
+                        train_loss=train_stats["loss"],
+                        val_loss=val_stats["loss"],
+                        val_point_miou=val_stats["point_miou"],
+                        val_voxel_miou=val_stats.get("voxel_miou", float("nan")),
+                    ),
+                    flush=True,
+                )
+        save_checkpoint(
+            self.output_dir,
+            "model_last",
+            self.state,
+            epoch=epochs - 1,
+            best=self.best,
+            config_json=self.config.to_json(),
+        )
+        (self.output_dir / "best.txt").write_text(
+            "\n".join(f"{k}: {v}" for k, v in self.best.items())
+        )
+        self.logger.export()
+        return self.best
+
+    def _run_train_epoch(self, epoch, epochs, verbose, t_start):
+        losses, cms = [], []
+        fetch_times, step_times = [], []
+        iters = len(self.train_loader)
+        last = time.time()
+        for it, batch in enumerate(
+            prefetch_to_device(iter(self.train_loader), sharding=self.batch_sharding)
+        ):
+            now = time.time()
+            fetch_times.append(now - last)
+            self.state, stats = self._train_step(self.state, batch, self.dropout_rng)
+            losses.append(stats["loss"])
+            cms.append(stats["confusion"])
+            if (it + 1) % verbose == 0:
+                jax.block_until_ready(stats["loss"])  # settle timing
+                step_times.append(time.time() - now)
+                window = losses[-verbose:]
+                cm = np.sum([np.asarray(c) for c in cms[-verbose:]], axis=0)
+                pm = M.confusion_to_point_metrics(cm)
+                iters_left = (epochs - epoch) * iters - (it + 1)
+                mean_iter = (time.time() - t_start) / max(self._global_iter + it + 1, 1)
+                eta = decode_eta(mean_iter * iters_left)
+                print(
+                    ITER_REPORT.format(
+                        epoch=epoch + 1,
+                        epochs=epochs,
+                        iter=it + 1,
+                        iters=iters,
+                        loss=float(np.mean([np.asarray(l) for l in window])),
+                        point_acc=pm["point_acc"],
+                        point_miou=pm["point_miou"],
+                        fetch=float(np.mean(fetch_times[-verbose:])),
+                        step=step_times[-1],
+                        eta_h=eta["h"],
+                        eta_m=eta["m"],
+                        eta_s=eta["s"],
+                    ),
+                    flush=True,
+                )
+            last = time.time()
+        self._global_iter += iters
+        cm_total = np.sum([np.asarray(c) for c in cms], axis=0) if cms else np.zeros(
+            (self.num_classes, self.num_classes)
+        )
+        out = {"loss": float(np.mean([np.asarray(l) for l in losses]))} if losses else {"loss": float("nan")}
+        out.update(M.confusion_to_point_metrics(cm_total))
+        return out
+
+    # -------------------------------------------------------------------- val
+
+    def _run_val_epoch(self):
+        losses, cms = [], []
+        vox_accs, vox_mious, vox_cali = [], [], []
+        for batch in prefetch_to_device(
+            iter(self.val_loader), sharding=self.batch_sharding
+        ):
+            out = self._eval_step(self.state, batch)
+            losses.append(out["loss"])
+            cms.append(out["confusion"])
+            if self.compute_voxel_metrics:
+                real = np.asarray(batch["row_mask"]) > 0
+                coords = np.asarray(batch["points"])[real][..., :3].reshape(-1, 3)
+                preds = np.asarray(out["preds"])[real].reshape(-1)
+                targets = np.asarray(batch["labels"])[real].reshape(-1)
+                weights = np.asarray(batch["weights"])[real].reshape(-1)
+                (_, _, voxacc, voxacc_pc, cali, acc_mask) = M.compute_acc(
+                    coords, preds, targets, weights, self.num_classes
+                )[0:6]
+                _, voxmiou, miou_mask = M.compute_miou(
+                    coords, preds, targets, weights, self.num_classes
+                )
+                vox_accs.append(voxacc)
+                vox_cali.append(cali)
+                vox_mious.append(np.sum(voxmiou * miou_mask) / max(np.sum(miou_mask), 1))
+        if not cms:
+            raise RuntimeError("validation produced no batches; check batch_size vs dataset size")
+        cm_total = np.sum([np.asarray(c) for c in cms], axis=0)
+        stats = {"loss": float(np.mean([np.asarray(l) for l in losses]))}
+        stats.update(M.confusion_to_point_metrics(cm_total))
+        if self.compute_voxel_metrics and vox_mious:
+            stats["voxel_acc"] = float(np.mean(vox_accs))
+            stats["voxel_acc_calibrated"] = float(np.mean(vox_cali))
+            stats["voxel_miou"] = float(np.mean(vox_mious))
+        else:
+            # fall back to point mIoU for best-model gating
+            stats["voxel_miou"] = stats["point_miou"]
+        return stats

@@ -1,0 +1,128 @@
+"""Functional train state and the jitted train/eval steps.
+
+Replaces the reference Solver's imperative forward/backward
+(lib/solver.py:155-181) with a pure step function: (state, batch, rng) ->
+(state, stats). The optimizer recipe matches scripts/train.py:36-47 +
+lib/solver.py:73 — Adam(lr, wd) with a StepLR-style staircase decay
+(exponential_decay with staircase=True, stepped per epoch).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state as flax_train_state
+
+from pointnet2_scannet_tpu.engine.loss import weighted_cross_entropy
+from pointnet2_scannet_tpu.engine.metrics import confusion_matrix
+
+
+class TrainState(flax_train_state.TrainState):
+    batch_stats: Any = None
+
+
+def make_lr_schedule(
+    lr: float, decay_step_epochs: int, decay_factor: float, steps_per_epoch: int
+) -> optax.Schedule:
+    """StepLR(decay_step, gamma) equivalent, stepped at epoch boundaries."""
+    return optax.exponential_decay(
+        init_value=lr,
+        transition_steps=max(decay_step_epochs * steps_per_epoch, 1),
+        decay_rate=decay_factor,
+        staircase=True,
+    )
+
+
+def make_optimizer(
+    lr: float | optax.Schedule, weight_decay: float = 0.0
+) -> optax.GradientTransformation:
+    """Adam with torch-style (coupled L2) weight decay."""
+    if weight_decay > 0:
+        # torch Adam folds wd*param into the gradient BEFORE the moment
+        # updates; add_decayed_weights upstream of adam reproduces that.
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay), optax.adam(lr)
+        )
+    return optax.adam(lr)
+
+
+def create_train_state(
+    model,
+    rng: jax.Array,
+    sample_input: jnp.ndarray,
+    tx: optax.GradientTransformation,
+) -> TrainState:
+    variables = model.init(rng, sample_input, train=False)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", flax.core.freeze({})),
+        tx=tx,
+    )
+
+
+def train_step(
+    state: TrainState,
+    batch: dict[str, jnp.ndarray],
+    dropout_rng: jax.Array,
+    *,
+    num_classes: int,
+) -> tuple[TrainState, dict[str, jnp.ndarray]]:
+    """One optimization step. Returns (new_state, stats) where stats holds the
+    scalar loss and the on-device confusion matrix for this batch."""
+    rng = jax.random.fold_in(dropout_rng, state.step)
+
+    def loss_fn(params):
+        logits, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["points"],
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        loss = weighted_cross_entropy(
+            logits, batch["labels"], batch["weights"], batch.get("row_mask")
+        )
+        return loss, (logits, mutated["batch_stats"])
+
+    (loss, (logits, new_batch_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=new_batch_stats)
+    preds = jnp.argmax(logits, axis=-1)
+    cm = confusion_matrix(preds, batch["labels"], num_classes, batch.get("row_mask"))
+    return state, {"loss": loss, "confusion": cm}
+
+
+def eval_step(
+    state: TrainState,
+    batch: dict[str, jnp.ndarray],
+    *,
+    num_classes: int,
+) -> dict[str, jnp.ndarray]:
+    """Forward-only validation step (running BN stats, no dropout)."""
+    logits = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["points"],
+        train=False,
+    )
+    loss = weighted_cross_entropy(
+        logits, batch["labels"], batch["weights"], batch.get("row_mask")
+    )
+    preds = jnp.argmax(logits, axis=-1)
+    cm = confusion_matrix(preds, batch["labels"], num_classes, batch.get("row_mask"))
+    return {"loss": loss, "confusion": cm, "preds": preds}
+
+
+def predict_logits(state: TrainState, points: jnp.ndarray) -> jnp.ndarray:
+    """Inference forward pass: (B, N, 3+C) -> (B, N, num_classes)."""
+    return state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        points,
+        train=False,
+    )

@@ -1,0 +1,59 @@
+"""Shared NN building blocks.
+
+TPU-native counterpart of the reference's pytorch_utils.py: the reference
+"SharedMLP" is a stack of 1x1 Conv2d+BN+ReLU over channels-first tensors
+(pytorch_utils.py:11-37); with channels-last layout a 1x1 conv IS a Dense on
+the trailing axis, which XLA maps straight onto the MXU as a single matmul
+over all leading (batch x point x sample) positions.
+
+BatchNorm semantics matched to torch.nn.BatchNorm2d: normalize over every
+axis except channels, eps 1e-5, running stats with torch momentum 0.1
+(flax momentum = 1 - 0.1 = 0.9), scale init 1 / bias init 0
+(pytorch_utils.py:43-46). Conv weights use He/kaiming-normal init
+(pytorch_utils.py:135,169) and drop their bias when BN follows
+(pytorch_utils.py:87).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class PointwiseMLP(nn.Module):
+    """Stack of Dense(+BN)(+ReLU) layers applied pointwise on the last axis.
+
+    Works on any rank: (B, N, C), (B, M, K, C), ...
+    """
+
+    widths: Sequence[int]
+    bn: bool = True
+    # activation applied after every layer, like the reference SharedMLP
+    # (pytorch_utils.py:24-36); set last_act=False for a head's final layer.
+    last_act: bool = True
+    dtype: jnp.dtype | None = None  # compute dtype (None = inherit input)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        n = len(self.widths)
+        for i, w in enumerate(self.widths):
+            x = nn.Dense(
+                w,
+                use_bias=not self.bn,
+                kernel_init=nn.initializers.he_normal(),
+                dtype=self.dtype,
+                name=f"dense_{i}",
+            )(x)
+            if self.bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=self.dtype,
+                    name=f"bn_{i}",
+                )(x)
+            if self.last_act or i < n - 1:
+                x = nn.relu(x)
+        return x

@@ -1,0 +1,117 @@
+"""Set-abstraction and feature-propagation modules.
+
+TPU-native counterparts of the reference pointnet2_modules.py:
+  - SetAbstraction covers both PointnetSAModule (single scale, :127) and
+    PointnetSAModuleMSG (multi scale, :78): FPS -> gather centroids -> per
+    scale (ball query -> group -> pointwise MLP -> max over the sample axis)
+    -> concat scales on channels (:34-75).
+  - FeaturePropagation mirrors PointnetFPModule (:356-416): 3-NN
+    inverse-distance interpolation (weights (1/d)/sum(1/d), :394-397) ->
+    concat skip features -> pointwise MLP.
+
+Everything is channels-last and shape-static; the sample axis is padded by
+ball_query's reference semantics, so max-pooling over it is exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pointnet2_scannet_tpu import ops
+from pointnet2_scannet_tpu.models.layers import PointwiseMLP
+
+
+class SetAbstraction(nn.Module):
+    """Multi-scale grouping set abstraction (single-scale = one entry)."""
+
+    npoint: int | None  # None => group-all (global abstraction)
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]  # per scale, output widths (input inferred)
+    use_xyz: bool = True
+    bn: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jnp.ndarray,
+        features: jnp.ndarray | None,
+        train: bool = False,
+    ) -> tuple[jnp.ndarray | None, jnp.ndarray, jnp.ndarray | None]:
+        """(B, N, 3), (B, N, C) -> new_xyz (B, npoint, 3), feats (B, npoint, C').
+
+        Returns (new_xyz, new_features, fps_idx), like the reference SA
+        forward (pointnet2_modules.py:34-75) which also returns the sampled
+        indices.
+        """
+        if self.npoint is not None:
+            idx = ops.furthest_point_sample(xyz, self.npoint)
+            new_xyz = ops.gather_points(xyz, idx)
+        else:
+            idx = None
+            new_xyz = None
+
+        scale_outs = []
+        for s, widths in enumerate(self.mlps):
+            if self.npoint is not None:
+                grouped = ops.query_and_group(
+                    float(self.radii[s]),
+                    int(self.nsamples[s]),
+                    xyz,
+                    new_xyz,
+                    features,
+                    use_xyz=self.use_xyz,
+                )  # (B, M, K, 3 + C)
+            else:
+                grouped = ops.group_all(xyz, features, use_xyz=self.use_xyz)
+            h = PointwiseMLP(
+                tuple(widths), bn=self.bn, dtype=self.dtype, name=f"mlp_{s}"
+            )(grouped, train)
+            # max over the neighborhood/sample axis, like F.max_pool2d over
+            # nsample (pointnet2_modules.py:65-71)
+            scale_outs.append(jnp.max(h, axis=2))
+        return new_xyz, jnp.concatenate(scale_outs, axis=-1), idx
+
+
+class FeaturePropagation(nn.Module):
+    """Upsample features from a coarse set onto a dense set."""
+
+    mlp: Sequence[int]
+    bn: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        unknown: jnp.ndarray,
+        known: jnp.ndarray | None,
+        unknown_feats: jnp.ndarray | None,
+        known_feats: jnp.ndarray,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """(B, n, 3), (B, m, 3), (B, n, C1), (B, m, C2) -> (B, n, mlp[-1])."""
+        if known is not None:
+            dist2, idx = ops.three_nn(unknown, known)
+            dist = jnp.sqrt(dist2)  # wrapper sqrt, pointnet2_utils.py:142
+            dist_recip = 1.0 / (dist + 1e-8)  # pointnet2_modules.py:395
+            norm = jnp.sum(dist_recip, axis=2, keepdims=True)
+            weight = dist_recip / norm
+            interpolated = ops.three_interpolate(known_feats, idx, weight)
+        else:
+            # broadcast a global feature onto every point
+            # (pointnet2_modules.py:404-406)
+            interpolated = jnp.broadcast_to(
+                known_feats, (known_feats.shape[0], unknown.shape[1], known_feats.shape[-1])
+            )
+
+        if unknown_feats is not None:
+            h = jnp.concatenate([interpolated, unknown_feats], axis=-1)
+        else:
+            h = interpolated
+        return PointwiseMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype, name="mlp")(
+            h, train
+        )

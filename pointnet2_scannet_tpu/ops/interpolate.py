@@ -1,0 +1,62 @@
+"""3-nearest-neighbor search and inverse-distance feature interpolation.
+
+Contract matched against the reference:
+  - three_nn: interpolate_gpu.cu:9-68 — brute-force O(n*m) running top-3 with
+    strict-< insertion (earliest index wins ties). Returns SQUARED distances;
+    the Python wrapper takes the sqrt (pointnet2_utils.py:142) — here the
+    module layer does.
+  - three_interpolate: interpolate_gpu.cu:72-154 — out[j] = sum_i w_i *
+    feats[idx_i]; backward is a scatter-add (atomicAdd there, deterministic
+    here via XLA gather transpose).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from pointnet2_scannet_tpu.ops.common import pairwise_sqdist
+
+
+def three_nn(
+    unknown: jnp.ndarray,
+    known: jnp.ndarray,
+    *,
+    dist_mode: str = "exact",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Three nearest neighbors of each `unknown` point among `known` points.
+
+    Args:
+      unknown: (B, n, 3).
+      known: (B, m, 3), m >= 3.
+
+    Returns:
+      (dist2, idx): (B, n, 3) squared distances (ascending) and int32 indices.
+      lax.top_k's stable tie-break (ascending index on equal keys) matches the
+      CUDA kernel's strict-< insertion order.
+    """
+    d2 = pairwise_sqdist(unknown, known, mode=dist_mode)  # (B, n, m)
+    neg, idx = lax.top_k(-d2, 3)
+    return -neg, idx.astype(jnp.int32)
+
+
+def three_interpolate(
+    points: jnp.ndarray,
+    idx: jnp.ndarray,
+    weight: jnp.ndarray,
+) -> jnp.ndarray:
+    """Weighted interpolation of features from 3 neighbors.
+
+    Channels-last counterpart of three_interpolate (interpolate_gpu.cu:72-113,
+    (B, C, m) × (B, n, 3) × (B, n, 3) → (B, C, n)).
+
+    Args:
+      points: (B, m, C) source features.
+      idx: (B, n, 3) neighbor indices into m.
+      weight: (B, n, 3) interpolation weights.
+
+    Returns:
+      (B, n, C). Differentiable w.r.t. points and weight.
+    """
+    gathered = jnp.take_along_axis(points[:, None, :, :], idx[..., None], axis=2)
+    return jnp.sum(gathered * weight[..., None], axis=2)

@@ -1,0 +1,132 @@
+"""Ball query, grouping, and the query-and-group fusion.
+
+Contract matched against the reference:
+  - ball_query: ball_query_gpu.cu:9-54 — for each query, scan points in
+    original index order and keep the FIRST `nsample` with d^2 < r^2; the row
+    is pre-filled with the first hit (so short rows are padded with the first
+    neighbor, :34-38); a query with no neighbor keeps the zero-initialized row
+    (ball_query.cpp:19-21) and therefore silently groups point 0.
+  - group_points: group_points_gpu.cu:8-75 — a gather along N with scatter-add
+    backward.
+  - query_and_group / group_all: the Python-side QueryAndGroup / GroupAll
+    (pointnet2_utils.py:294-424): group xyz, subtract the centroid, optionally
+    normalize by the radius, concat grouped features ([xyz | feats] order).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from pointnet2_scannet_tpu.ops.common import pairwise_sqdist
+
+
+def ball_query(
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    *,
+    dist_mode: str = "exact",
+) -> jnp.ndarray:
+    """Fixed-radius neighborhood query with reference-exact padding semantics.
+
+    Args:
+      radius: ball radius (static).
+      nsample: max neighbors per query (static).
+      xyz: (B, N, 3) all points.
+      new_xyz: (B, M, 3) query centroids.
+
+    Returns:
+      (B, M, nsample) int32 indices into N: the first `nsample` in-radius
+      points in ascending index order, rows padded with the first hit, or
+      all-zero when the ball is empty.
+    """
+    N = xyz.shape[1]
+    d2 = pairwise_sqdist(new_xyz, xyz, mode=dist_mode)  # (B, M, N)
+    valid = d2 < jnp.float32(radius) * jnp.float32(radius)
+    iota = lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+    masked = jnp.where(valid, iota, N)
+    # smallest `nsample` indices == negated top_k of the negated indices
+    # (lax.top_k is stable: equal keys come out in ascending index order).
+    neg_top, _ = lax.top_k(-masked, nsample)
+    idx = -neg_top  # (B, M, nsample), ascending; N marks "no hit"
+    found = idx < N
+    first = idx[..., :1]
+    fill = jnp.where(first < N, first, 0)
+    return jnp.where(found, idx, fill).astype(jnp.int32)
+
+
+def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-point features into neighborhoods.
+
+    Channels-last counterpart of group_points (group_points_gpu.cu:8-33,
+    (B, C, N) × (B, M, K) → (B, C, M, K)).
+
+    Args:
+      points: (B, N, C).
+      idx: (B, M, K) int32 indices into N.
+
+    Returns:
+      (B, M, K, C). Differentiable w.r.t. points (deterministic scatter-add).
+    """
+    B, M, K = idx.shape
+    flat = idx.reshape(B, M * K)
+    out = jnp.take_along_axis(points, flat[..., None], axis=1)
+    return out.reshape(B, M, K, points.shape[-1])
+
+
+def query_and_group(
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    features: jnp.ndarray | None,
+    *,
+    use_xyz: bool = True,
+    normalize_xyz: bool = False,
+    dist_mode: str = "exact",
+) -> jnp.ndarray:
+    """Ball-query then group, centering grouped xyz on the query point.
+
+    Mirrors QueryAndGroup.forward (pointnet2_utils.py:334-377): grouped xyz
+    minus centroid (:350), optional /radius normalization (:352), concat
+    [xyz, features] on the channel axis (:358-366).
+
+    Returns:
+      (B, M, nsample, 3 + C) if use_xyz and features is not None;
+      (B, M, nsample, 3) or (B, M, nsample, C) otherwise.
+    """
+    idx = ball_query(radius, nsample, xyz, new_xyz, dist_mode=dist_mode)
+    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+    if normalize_xyz:
+        grouped_xyz = grouped_xyz / radius
+    if features is not None:
+        grouped_features = group_points(features, idx)
+        if use_xyz:
+            return jnp.concatenate([grouped_xyz, grouped_features], axis=-1)
+        return grouped_features
+    if not use_xyz:
+        raise ValueError("cannot have not features and not use xyz as a feature")
+    return grouped_xyz
+
+
+def group_all(
+    xyz: jnp.ndarray,
+    features: jnp.ndarray | None,
+    *,
+    use_xyz: bool = True,
+) -> jnp.ndarray:
+    """Group the entire point set into one neighborhood (GroupAll,
+    pointnet2_utils.py:379-424).
+
+    Returns:
+      (B, 1, N, 3 + C) (or (B, 1, N, 3) / (B, 1, N, C)).
+    """
+    grouped_xyz = xyz[:, None, :, :]
+    if features is not None:
+        grouped_features = features[:, None, :, :]
+        if use_xyz:
+            return jnp.concatenate([grouped_xyz, grouped_features], axis=-1)
+        return grouped_features
+    return grouped_xyz

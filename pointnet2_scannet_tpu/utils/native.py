@@ -1,0 +1,125 @@
+"""ctypes bindings for the native host-ops library (cpp/hostops.cpp).
+
+Auto-builds the shared library with `make` the first time it's needed (g++
+ships in the image); every entry point has a numpy fallback so the package
+works without a toolchain. See cpp/hostops.cpp for the kernel contracts.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+
+import numpy as np
+
+_CPP_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "cpp"
+_LIB_PATH = _CPP_DIR / "libhostops.so"
+_lib = None
+_load_failed = False
+
+
+def _load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    try:
+        if not _LIB_PATH.exists():
+            subprocess.run(
+                ["make", "-C", str(_CPP_DIR)], check=True, capture_output=True
+            )
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        i64 = ctypes.c_int64
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i64pp = ctypes.POINTER(i64)
+        lib.chunk_scan.restype = i64
+        lib.chunk_scan.argtypes = [
+            f32p, f32p, i64, f32p, f32p, ctypes.c_float, u8p, i64pp, i64pp,
+        ]
+        lib.unique_first_occurrence.restype = i64
+        lib.unique_first_occurrence.argtypes = [i64p, i64, i64p, i64p]
+        lib.coord_first_occurrence.restype = i64
+        lib.coord_first_occurrence.argtypes = [f32p, i64, i64p]
+        _lib = lib
+    except Exception:  # noqa: BLE001 - fall back to numpy paths
+        _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def chunk_scan(
+    xyz: np.ndarray,
+    labels: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    margin: float,
+):
+    """Fused crop-mask + annotated-count + voxel-occupancy scan.
+
+    Returns (mask (n,) bool, annotated_count, occupied_voxels) with the
+    lib/dataset.py:219-240 semantics. Falls back to numpy when the native
+    library is unavailable.
+    """
+    lib = _load()
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    labels = np.ascontiguousarray(labels, np.float32)
+    lo = np.ascontiguousarray(lo, np.float32)
+    hi = np.ascontiguousarray(hi, np.float32)
+    n = len(xyz)
+    if lib is not None:
+        mask = np.empty(n, np.uint8)
+        annotated = ctypes.c_int64()
+        occupied = ctypes.c_int64()
+        lib.chunk_scan(
+            xyz, labels, n, lo, hi, ctypes.c_float(margin), mask,
+            ctypes.byref(annotated), ctypes.byref(occupied),
+        )
+        return mask.astype(bool), int(annotated.value), int(occupied.value)
+    # numpy fallback (multi-pass)
+    mask = np.all((xyz >= lo - margin) & (xyz <= hi + margin), axis=1)
+    sel = xyz[mask]
+    lab = labels[mask]
+    annotated = int(np.sum(lab > 0))
+    tight = np.all((sel >= lo - 0.01) & (sel <= hi + 0.01), axis=1)
+    extent = hi - lo
+    if (extent <= 0).any() or not tight.any():
+        return mask, annotated, 0
+    vidx = np.ceil((sel[tight] - lo) / extent * [31.0, 31.0, 62.0])
+    vidx = np.unique(vidx[:, 0] * 31.0 * 62.0 + vidx[:, 1] * 62.0 + vidx[:, 2])
+    return mask, annotated, len(vidx)
+
+
+def unique_first_occurrence(keys: np.ndarray):
+    """np.unique(keys, return_index=True) equivalent: returns (sorted unique
+    keys, indices of their first occurrences)."""
+    lib = _load()
+    keys = np.ascontiguousarray(keys, np.int64)
+    n = len(keys)
+    if lib is not None:
+        out_idx = np.empty(n, np.int64)
+        out_keys = np.empty(n, np.int64)
+        m = lib.unique_first_occurrence(keys, n, out_idx, out_keys)
+        out_idx, out_keys = out_idx[:m], out_keys[:m]
+        order = np.argsort(out_keys, kind="stable")
+        return out_keys[order], out_idx[order]
+    return np.unique(keys, return_index=True)
+
+
+def coord_first_occurrence(coords: np.ndarray) -> np.ndarray:
+    """Indices of the first occurrence of each unique (x,y,z) row, in
+    first-encounter order (== np.unique-by-row index set)."""
+    lib = _load()
+    coords = np.ascontiguousarray(coords, np.float32)
+    n = len(coords)
+    if lib is not None:
+        out_idx = np.empty(n, np.int64)
+        m = lib.coord_first_occurrence(coords, n, out_idx)
+        return np.sort(out_idx[:m])
+    view = coords.view(np.dtype((np.void, 12))).ravel()
+    _, ids = np.unique(view, return_index=True)
+    return np.sort(ids)

@@ -1,0 +1,78 @@
+"""Whole-scene evaluation CLI.
+
+Counterpart of the reference evaluator (scripts/eval.py:174-221): loads a
+trained checkpoint (model flags come from the serialized config.json, so
+they can never drift from training), tiles every val scene into 1.5m columns,
+and prints the global + per-class metric table (point acc, per-class point
+acc, voxel acc, per-class voxel acc, calibrated voxel acc, point mIoU,
+voxel mIoU).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def evaluate(args) -> None:
+    from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from pointnet2_scannet_tpu import models
+    from pointnet2_scannet_tpu.config import RunConfig
+    from pointnet2_scannet_tpu.data import WholeSceneDataset
+    from pointnet2_scannet_tpu.data.scene_store import SceneStore
+    from pointnet2_scannet_tpu.data.synthetic import make_synthetic_store
+    from pointnet2_scannet_tpu.engine.checkpoint import restore_params_only
+    from pointnet2_scannet_tpu.engine.evaluator import WholeSceneEvaluator
+
+    run_dir = pathlib.Path(args.folder)
+    cfg = RunConfig.load(run_dir / "config.json")
+
+    if args.synthetic:
+        store = make_synthetic_store(args.synthetic_scenes, seed=1000)
+    else:
+        scene_ids = [l.strip() for l in open(args.val_list or cfg.paths.val_list) if l.strip()]
+        mv = cfg.paths.multiview_h5 if cfg.data.use_multiview else None
+        store = SceneStore.from_npy_dir(
+            scene_ids,
+            args.data_dir or cfg.paths.preprocessed_dir,
+            mv,
+            is_weighting=cfg.data.is_weighting,
+        )
+
+    dataset = WholeSceneDataset(store, cfg.data, seed=0)
+    model = models.get_model(
+        num_classes=cfg.model.num_classes,
+        is_msg=cfg.model.is_msg,
+        input_channels=cfg.data.input_channels,
+        use_xyz=cfg.model.use_xyz,
+        bn=cfg.model.bn,
+    )
+    variables = restore_params_only(run_dir, args.checkpoint)
+    evaluator = WholeSceneEvaluator(
+        model.apply, variables, batch_size=args.batch_size
+    )
+    report = evaluator.evaluate(dataset)
+    print()
+    print(report.format_table())
+    (run_dir / "eval_report.txt").write_text(report.format_table())
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--folder", type=str, required=True, help="run output dir")
+    p.add_argument("--checkpoint", type=str, default="model_best")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--val_list", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_scenes", type=int, default=2)
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    evaluate(parse_args())

@@ -1,0 +1,180 @@
+"""Training CLI.
+
+Flag-for-flag counterpart of the reference trainer (scripts/train.py:108-129):
+tag/batch_size/epoch/verbose/lr/wd/ds/df/debug/no_weighting/no_bn/no_xyz/
+use_msg/use_color/use_normal/use_multiview, plus TPU-specific --num_devices
+and --synthetic (train on generated scenes when no ScanNet data is mounted).
+Writes outputs/<timestamp>_<TAG>/ with config.json, info.json, checkpoints,
+tensorboard scalars, and best.txt.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def build_config(args) -> "RunConfig":
+    from pointnet2_scannet_tpu.config import (
+        DataConfig,
+        ModelConfig,
+        PathConfig,
+        RunConfig,
+        TrainConfig,
+    )
+
+    return RunConfig(
+        tag=args.tag,
+        paths=PathConfig(
+            preprocessed_dir=args.data_dir,
+            multiview_h5=args.multiview_h5,
+            output_root=args.output_root,
+            train_list=args.train_list,
+            val_list=args.val_list,
+        ),
+        data=DataConfig(
+            npoints=args.npoints,
+            is_weighting=not args.no_weighting,
+            use_color=args.use_color,
+            use_normal=args.use_normal,
+            use_multiview=args.use_multiview,
+        ),
+        model=ModelConfig(
+            is_msg=args.use_msg,
+            use_xyz=not args.no_xyz,
+            bn=not args.no_bn,
+        ),
+        train=TrainConfig(
+            batch_size=args.batch_size,
+            epochs=args.epoch,
+            lr=args.lr,
+            weight_decay=args.wd,
+            decay_step=args.ds,
+            decay_factor=args.df,
+            verbose=args.verbose,
+            seed=args.seed,
+            no_weighting=args.no_weighting,
+            num_devices=args.num_devices,
+        ),
+    )
+
+
+def load_scene_list(path: str) -> list[str]:
+    return [l.strip() for l in open(path) if l.strip()]
+
+
+def make_stores(cfg, args):
+    from pointnet2_scannet_tpu.data.scene_store import SceneStore
+    from pointnet2_scannet_tpu.data.synthetic import make_synthetic_store
+
+    if args.synthetic:
+        train_store = make_synthetic_store(args.synthetic_scenes, seed=0)
+        val_store = make_synthetic_store(max(args.synthetic_scenes // 4, 1), seed=1000)
+        return train_store, val_store
+
+    train_ids = load_scene_list(cfg.paths.train_list)
+    val_ids = load_scene_list(cfg.paths.val_list)
+    if args.debug:
+        # the reference --debug trains and validates on one scene
+        # (scripts/train.py:72-74)
+        train_ids = train_ids[:1]
+        val_ids = train_ids
+    mv = cfg.paths.multiview_h5 if cfg.data.use_multiview else None
+    train_store = SceneStore.from_npy_dir(
+        train_ids, cfg.paths.preprocessed_dir, mv, is_weighting=cfg.data.is_weighting
+    )
+    val_store = SceneStore.from_npy_dir(
+        val_ids, cfg.paths.preprocessed_dir, mv, is_weighting=cfg.data.is_weighting
+    )
+    return train_store, val_store
+
+
+def train(args) -> None:
+    from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from pointnet2_scannet_tpu import models
+    from pointnet2_scannet_tpu.data import ChunkedSceneDataset
+    from pointnet2_scannet_tpu.engine import Solver
+
+    cfg = build_config(args)
+    stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
+    if args.tag:
+        stamp += "_" + args.tag.upper()
+    output_dir = pathlib.Path(cfg.paths.output_root) / stamp
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    train_store, val_store = make_stores(cfg, args)
+    train_ds = ChunkedSceneDataset(train_store, cfg.data, phase="train", seed=args.seed)
+    val_ds = ChunkedSceneDataset(val_store, cfg.data, phase="val", seed=args.seed + 1)
+
+    model = models.get_model(
+        num_classes=cfg.model.num_classes,
+        is_msg=cfg.model.is_msg,
+        input_channels=cfg.data.input_channels,
+        use_xyz=cfg.model.use_xyz,
+        bn=cfg.model.bn,
+    )
+    solver = Solver(model, train_ds, val_ds, cfg, output_dir)
+
+    info = {
+        **vars(args),
+        "num_train_scenes": len(train_store),
+        "num_val_scenes": len(val_store),
+        "num_params": int(
+            sum(np.prod(p.shape) for p in _leaves(solver.state.params))
+        ),
+    }
+    (output_dir / "info.json").write_text(json.dumps(info, indent=2, default=str))
+
+    print(f"training -> {output_dir}")
+    best = solver()
+    print("best:", best)
+
+
+def _leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--tag", type=str, default="", help="run tag for the output dir")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--epoch", type=int, default=500)
+    p.add_argument("--verbose", type=int, default=10, help="iters between reports")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--wd", type=float, default=0.0)
+    p.add_argument("--ds", type=int, default=100, help="lr decay step (epochs)")
+    p.add_argument("--df", type=float, default=0.7, help="lr decay factor")
+    p.add_argument("--npoints", type=int, default=8192)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--debug", action="store_true", help="train on a single scene")
+    p.add_argument("--no_weighting", action="store_true")
+    p.add_argument("--no_bn", action="store_true")
+    p.add_argument("--no_xyz", action="store_true")
+    p.add_argument("--use_msg", action="store_true")
+    p.add_argument("--use_color", action="store_true")
+    p.add_argument("--use_normal", action="store_true")
+    p.add_argument("--use_multiview", action="store_true")
+    p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--data_dir", type=str, default="data/preprocessed_scenes")
+    p.add_argument("--multiview_h5", type=str, default="data/enet_feats.hdf5")
+    p.add_argument("--train_list", type=str, default="data/scannetv2_train.txt")
+    p.add_argument("--val_list", type=str, default="data/scannetv2_val.txt")
+    p.add_argument("--output_root", type=str, default="outputs")
+    p.add_argument("--synthetic", action="store_true", help="use generated scenes")
+    p.add_argument("--synthetic_scenes", type=int, default=8)
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    train(parse_args())

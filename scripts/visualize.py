@@ -1,0 +1,87 @@
+"""Prediction visualization CLI.
+
+Counterpart of the reference visualizer (scripts/visualize.py:75-140):
+whole-scene prediction for one scene (or all), coordinate dedup, palette
+coloring, PLY output under <run_dir>/preds/<scene_id>.ply.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def visualize(args) -> None:
+    from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from pointnet2_scannet_tpu import models
+    from pointnet2_scannet_tpu.config import PALETTE, RunConfig
+    from pointnet2_scannet_tpu.data import WholeSceneDataset
+    from pointnet2_scannet_tpu.data.scene_store import SceneStore
+    from pointnet2_scannet_tpu.data.synthetic import make_synthetic_store
+    from pointnet2_scannet_tpu.engine.checkpoint import restore_params_only
+    from pointnet2_scannet_tpu.engine.evaluator import WholeSceneEvaluator
+    from pointnet2_scannet_tpu.engine.metrics import filter_points
+    from pointnet2_scannet_tpu.utils.ply import write_ply_points
+
+    run_dir = pathlib.Path(args.folder)
+    cfg = RunConfig.load(run_dir / "config.json")
+
+    if args.synthetic:
+        store = make_synthetic_store(1, seed=1000)
+    else:
+        scene_ids = [args.scene_id] if args.scene_id else [
+            l.strip() for l in open(cfg.paths.val_list) if l.strip()
+        ]
+        mv = cfg.paths.multiview_h5 if cfg.data.use_multiview else None
+        store = SceneStore.from_npy_dir(
+            scene_ids, args.data_dir or cfg.paths.preprocessed_dir, mv,
+            is_weighting=cfg.data.is_weighting,
+        )
+
+    dataset = WholeSceneDataset(store, cfg.data, seed=0)
+    model = models.get_model(
+        num_classes=cfg.model.num_classes,
+        is_msg=cfg.model.is_msg,
+        input_channels=cfg.data.input_channels,
+        use_xyz=cfg.model.use_xyz,
+        bn=cfg.model.bn,
+    )
+    variables = restore_params_only(run_dir, args.checkpoint)
+    evaluator = WholeSceneEvaluator(model.apply, variables, batch_size=args.batch_size)
+
+    preds_dir = run_dir / "preds"
+    preds_dir.mkdir(exist_ok=True)
+    palette = np.asarray(PALETTE, np.uint8)
+    for scene_id, (feats, labels, weights) in dataset.iter_scenes():
+        preds = evaluator.predict_scene(feats)
+        coords = feats[..., :3].reshape(-1, 3)
+        flat_preds = preds.reshape(-1)
+        coords_u, preds_u, _, _ = filter_points(
+            coords, flat_preds, labels.reshape(-1), weights.reshape(-1)
+        )
+        colors = palette[np.clip(preds_u, 0, len(palette) - 1)]
+        out = preds_dir / f"{scene_id}.ply"
+        write_ply_points(out, coords_u, colors)
+        print(f"wrote {out} ({len(coords_u)} points)")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--folder", type=str, required=True, help="run output dir")
+    p.add_argument("--scene_id", type=str, default=None)
+    p.add_argument("--checkpoint", type=str, default="model_best")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    visualize(parse_args())

@@ -1,0 +1,128 @@
+"""Data-layer tests: synthetic scenes, chunk sampling, augmentation,
+label weighting, batching, whole-scene tiling."""
+
+import numpy as np
+import pytest
+
+from pointnet2_scannet_tpu.config import DataConfig, NUM_CLASSES
+from pointnet2_scannet_tpu.data import (
+    BatchLoader,
+    ChunkedSceneDataset,
+    WholeSceneDataset,
+    compute_label_weights,
+)
+from pointnet2_scannet_tpu.data.chunks import augment_coords
+from pointnet2_scannet_tpu.data.synthetic import make_synthetic_scene, make_synthetic_store
+
+CFG = DataConfig(npoints=2048, use_color=True, use_normal=True)
+
+
+@pytest.fixture(scope="module")
+def store():
+    return make_synthetic_store(n_scenes=2, n_points=20_000)
+
+
+class TestSynthetic:
+    def test_scene_layout(self):
+        scene = make_synthetic_scene(0, n_points=10_000)
+        assert scene.shape[1] == 11
+        labels = scene[:, 10]
+        assert labels.min() >= 0 and labels.max() < NUM_CLASSES
+        assert (scene[:, 3:6] >= 0).all() and (scene[:, 3:6] <= 255).all()
+        norms = np.linalg.norm(scene[:, 6:9], axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+class TestLabelWeights:
+    def test_inverse_log_freq(self):
+        labels = [np.array([0, 0, 0, 1])]
+        w = compute_label_weights(labels, num_classes=3)
+        freq = np.array([0.75, 0.25, 0.0], np.float32)
+        np.testing.assert_allclose(w, 1.0 / np.log(1.2 + freq), rtol=1e-6)
+        # rarer classes get larger weights
+        assert w[1] > w[0] and w[2] > w[1]
+
+
+class TestChunks:
+    def test_generate_and_get(self, store):
+        ds = ChunkedSceneDataset(store, CFG, phase="train", seed=1)
+        ds.generate_chunks()
+        feats, labels, weights = ds.get_item(0)
+        assert feats.shape == (2048, 9)  # xyz + color + normal
+        assert labels.shape == (2048,) and labels.dtype == np.int32
+        assert weights.shape == (2048,) and (weights > 0).all()
+        # chunk footprint: 1.5m + margins + augmentation slack
+        span = feats[:, :3].max(0) - feats[:, :3].min(0)
+        assert span[0] < 1.5 + 2 * 0.2 + 1.2
+        assert span[1] < 1.5 + 2 * 0.2 + 1.2
+
+    def test_chunks_change_between_epochs(self, store):
+        ds = ChunkedSceneDataset(store, CFG, phase="val", seed=1)
+        ds.generate_chunks()
+        a = ds.get_item(0)[0].copy()
+        ds.generate_chunks()
+        b = ds.get_item(0)[0]
+        assert not np.array_equal(a, b)
+
+    def test_val_has_no_augmentation(self, store):
+        ds = ChunkedSceneDataset(store, CFG, phase="val", seed=3)
+        ds.generate_chunks()
+        a = ds.get_item(0)[0]
+        b = ds.get_item(0)[0]
+        np.testing.assert_array_equal(a, b)
+
+
+class TestAugment:
+    def test_all_cases_bounded(self):
+        rng = np.random.default_rng(0)
+        coords = rng.uniform(0, 1.5, size=(500, 3)).astype(np.float32)
+        for _ in range(50):
+            out = augment_coords(coords, rng)
+            # translation <=0.5/axis, rotation <=5deg, scale in [0.95,1.05]:
+            # centroid moves at most ~0.9m, shape roughly preserved
+            assert np.linalg.norm(out.mean(0) - coords.mean(0)) < 1.0
+            r_in = np.linalg.norm(coords - coords.mean(0), axis=1).max()
+            r_out = np.linalg.norm(out - out.mean(0), axis=1).max()
+            assert 0.9 * r_in < r_out < 1.1 * r_in
+
+
+class TestBatchLoader:
+    def test_shapes_and_len(self, store):
+        ds = ChunkedSceneDataset(store, CFG, phase="train", seed=1)
+        ds.generate_chunks()
+        loader = BatchLoader(ds, batch_size=2)
+        batches = list(loader)
+        assert len(batches) == len(loader) == 1
+        assert batches[0]["points"].shape == (2, 2048, 9)
+        assert batches[0]["labels"].shape == (2, 2048)
+        assert batches[0]["weights"].shape == (2, 2048)
+        np.testing.assert_array_equal(batches[0]["row_mask"], [1.0, 1.0])
+
+    def test_pad_last_masks_padding(self, store):
+        ds = ChunkedSceneDataset(store, CFG, phase="val", seed=1)
+        ds.generate_chunks()
+        loader = BatchLoader(ds, batch_size=4, pad_last=True)  # 2 scenes -> pad 2
+        (batch,) = list(loader)
+        assert batch["points"].shape == (4, 2048, 9)
+        np.testing.assert_array_equal(batch["row_mask"], [1, 1, 0, 0])
+        assert (batch["weights"][2:] == 0).all()
+
+    def test_drop_last(self, store):
+        ds = ChunkedSceneDataset(store, CFG, phase="val", seed=1)
+        ds.generate_chunks()
+        loader = BatchLoader(ds, batch_size=4, drop_last=True)
+        assert len(list(loader)) == len(loader) == 0
+
+
+class TestWholeScene:
+    def test_tiling_covers_scene(self, store):
+        ds = WholeSceneDataset(store, CFG, seed=0)
+        feats, labels, weights = ds.get_scene(0)
+        S = feats.shape[0]
+        assert feats.shape == (S, 2048, 9)
+        assert labels.shape == (S, 2048)
+        assert S >= 4  # a 6m x 6m scene has >= 16 1.5m columns
+        # every column footprint is at most the window + tolerance
+        for s in range(S):
+            span = feats[s, :, :3].max(0) - feats[s, :, :3].min(0)
+            assert span[0] <= 1.5 + 0.03 and span[1] <= 1.5 + 0.03

@@ -1,0 +1,57 @@
+"""Native host-ops library: builds, and matches the numpy reference paths."""
+
+import numpy as np
+import pytest
+
+from pointnet2_scannet_tpu.utils import native
+
+RNG = np.random.default_rng(3)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    if not native.available():
+        pytest.skip("native hostops library failed to build")
+
+
+class TestChunkScan:
+    def numpy_ref(self, xyz, labels, lo, hi, margin):
+        mask = np.all((xyz >= lo - margin) & (xyz <= hi + margin), axis=1)
+        sel, lab = xyz[mask], labels[mask]
+        annotated = int(np.sum(lab > 0))
+        tight = np.all((sel >= lo - 0.01) & (sel <= hi + 0.01), axis=1)
+        extent = hi - lo
+        vidx = np.ceil((sel[tight] - lo) / extent * [31.0, 31.0, 62.0])
+        vidx = np.unique(vidx[:, 0] * 31.0 * 62.0 + vidx[:, 1] * 62.0 + vidx[:, 2])
+        return mask, annotated, len(vidx)
+
+    def test_matches_numpy(self):
+        xyz = RNG.uniform(0, 4, size=(5000, 3)).astype(np.float32)
+        labels = RNG.integers(0, 20, 5000).astype(np.float32)
+        lo = np.array([1.0, 1.0, 0.0], np.float32)
+        hi = np.array([2.5, 2.5, 4.0], np.float32)
+        got = native.chunk_scan(xyz, labels, lo, hi, 0.2)
+        want = self.numpy_ref(xyz, labels, lo, hi, 0.2)
+        np.testing.assert_array_equal(got[0], want[0])
+        assert got[1] == want[1]
+        assert got[2] == want[2]
+
+
+class TestUnique:
+    def test_matches_np_unique(self):
+        keys = RNG.integers(0, 500, 4000)
+        got_keys, got_idx = native.unique_first_occurrence(keys)
+        want_keys, want_idx = np.unique(keys, return_index=True)
+        np.testing.assert_array_equal(got_keys, want_keys)
+        np.testing.assert_array_equal(got_idx, want_idx)
+
+
+class TestCoordDedup:
+    def test_matches_np_unique_rows(self):
+        coords = RNG.uniform(size=(300, 3)).astype(np.float32)
+        dup = np.concatenate([coords, coords[:100], coords[:30]])
+        got = native.coord_first_occurrence(dup)
+        view = np.ascontiguousarray(dup).view(np.dtype((np.void, 12))).ravel()
+        _, want = np.unique(view, return_index=True)
+        np.testing.assert_array_equal(np.sort(got), np.sort(want))
+        assert len(got) == 300

@@ -1,0 +1,197 @@
+"""Parity tests for the point-cloud primitive ops against the CUDA-contract
+oracles (tests/oracles.py), plus gradient checks for the differentiable ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointnet2_scannet_tpu import ops
+from tests import oracles
+
+RNG = np.random.default_rng(0)
+
+
+def rand_cloud(b, n, lo=0.0, hi=1.5):
+    return RNG.uniform(lo, hi, size=(b, n, 3)).astype(np.float32)
+
+
+class TestFurthestPointSample:
+    def test_matches_oracle(self):
+        xyz = rand_cloud(2, 64)
+        got = np.asarray(ops.furthest_point_sample(jnp.asarray(xyz), 16))
+        want = oracles.fps_oracle(xyz, 16)
+        np.testing.assert_array_equal(got, want)
+
+    def test_near_origin_skip(self):
+        xyz = rand_cloud(1, 32, lo=0.5, hi=1.5)
+        # plant a far-away point inside the origin ball: it must never win
+        xyz[0, 7] = [0.01, 0.01, 0.01]
+        got = np.asarray(ops.furthest_point_sample(jnp.asarray(xyz), 8))
+        want = oracles.fps_oracle(xyz, 8)
+        np.testing.assert_array_equal(got, want)
+        assert 7 not in got[0]
+
+    def test_no_skip_flag(self):
+        xyz = rand_cloud(1, 32)
+        xyz[0, 3] = [0.0, 0.0, 0.0]
+        got = np.asarray(
+            ops.furthest_point_sample(jnp.asarray(xyz), 8, skip_near_origin=False)
+        )
+        want = oracles.fps_oracle(xyz, 8, skip_near_origin=False)
+        np.testing.assert_array_equal(got, want)
+
+    def test_seeds_index_zero(self):
+        xyz = rand_cloud(3, 128)
+        got = np.asarray(ops.furthest_point_sample(jnp.asarray(xyz), 32))
+        assert (got[:, 0] == 0).all()
+
+    def test_unique_when_enough_points(self):
+        xyz = rand_cloud(2, 256)
+        got = np.asarray(ops.furthest_point_sample(jnp.asarray(xyz), 64))
+        for b in range(2):
+            assert len(set(got[b].tolist())) == 64
+
+
+class TestBallQuery:
+    @pytest.mark.parametrize("radius,nsample", [(0.3, 8), (0.1, 4), (2.0, 16)])
+    def test_matches_oracle(self, radius, nsample):
+        xyz = rand_cloud(2, 96)
+        new_xyz = xyz[:, :24].copy()
+        got = np.asarray(
+            ops.ball_query(radius, nsample, jnp.asarray(xyz), jnp.asarray(new_xyz))
+        )
+        want = oracles.ball_query_oracle(radius, nsample, xyz, new_xyz)
+        np.testing.assert_array_equal(got, want)
+
+    def test_empty_ball_is_all_zero(self):
+        xyz = rand_cloud(1, 32, lo=10.0, hi=11.0)
+        new_xyz = np.zeros((1, 4, 3), np.float32)
+        got = np.asarray(ops.ball_query(0.5, 8, jnp.asarray(xyz), jnp.asarray(new_xyz)))
+        assert (got == 0).all()
+
+    def test_row_padded_with_first_hit(self):
+        xyz = np.full((1, 16, 3), 100.0, np.float32)
+        xyz[0, 5] = [0.0, 0.0, 0.0]  # the only in-radius point
+        new_xyz = np.zeros((1, 1, 3), np.float32)
+        got = np.asarray(ops.ball_query(0.5, 6, jnp.asarray(xyz), jnp.asarray(new_xyz)))
+        assert (got == 5).all()
+
+
+class TestGrouping:
+    def test_group_points_matches_oracle(self):
+        points = RNG.normal(size=(2, 48, 7)).astype(np.float32)
+        idx = RNG.integers(0, 48, size=(2, 12, 5)).astype(np.int32)
+        got = np.asarray(ops.group_points(jnp.asarray(points), jnp.asarray(idx)))
+        want = oracles.group_points_oracle(points, idx)
+        np.testing.assert_array_equal(got, want)
+
+    def test_gather_points(self):
+        points = RNG.normal(size=(2, 48, 7)).astype(np.float32)
+        idx = RNG.integers(0, 48, size=(2, 12)).astype(np.int32)
+        got = np.asarray(ops.gather_points(jnp.asarray(points), jnp.asarray(idx)))
+        np.testing.assert_array_equal(got, points[np.arange(2)[:, None], idx])
+
+    def test_group_points_grad_is_scatter_add(self):
+        points = RNG.normal(size=(1, 8, 3)).astype(np.float32)
+        idx = np.array([[[0, 0, 2], [5, 5, 5]]], np.int32)
+
+        def f(p):
+            return jnp.sum(ops.group_points(p, jnp.asarray(idx)))
+
+        g = np.asarray(jax.grad(f)(jnp.asarray(points)))
+        want = np.zeros_like(points)
+        for m in range(2):
+            for k in range(3):
+                want[0, idx[0, m, k]] += 1.0
+        np.testing.assert_allclose(g, want)
+
+    def test_query_and_group_centers_xyz(self):
+        xyz = rand_cloud(2, 64)
+        feats = RNG.normal(size=(2, 64, 5)).astype(np.float32)
+        out = np.asarray(
+            ops.query_and_group(0.4, 8, jnp.asarray(xyz), jnp.asarray(xyz[:, :16]), jnp.asarray(feats))
+        )
+        assert out.shape == (2, 16, 8, 8)
+        idx = oracles.ball_query_oracle(0.4, 8, xyz, xyz[:, :16])
+        want_xyz = oracles.group_points_oracle(xyz, idx) - xyz[:, :16][:, :, None, :]
+        np.testing.assert_allclose(out[..., :3], want_xyz, atol=1e-6)
+        np.testing.assert_allclose(
+            out[..., 3:], oracles.group_points_oracle(feats, idx), atol=1e-6
+        )
+
+    def test_group_all(self):
+        xyz = rand_cloud(1, 16)
+        feats = RNG.normal(size=(1, 16, 4)).astype(np.float32)
+        out = np.asarray(ops.group_all(jnp.asarray(xyz), jnp.asarray(feats)))
+        assert out.shape == (1, 1, 16, 7)
+        np.testing.assert_array_equal(out[0, 0, :, :3], xyz[0])
+        np.testing.assert_array_equal(out[0, 0, :, 3:], feats[0])
+
+
+class TestInterpolate:
+    def test_three_nn_matches_oracle(self):
+        unknown = rand_cloud(2, 40)
+        known = rand_cloud(2, 12)
+        d2, idx = ops.three_nn(jnp.asarray(unknown), jnp.asarray(known))
+        want_d2, want_idx = oracles.three_nn_oracle(unknown, known)
+        np.testing.assert_array_equal(np.asarray(idx), want_idx)
+        np.testing.assert_allclose(np.asarray(d2), want_d2, rtol=1e-5, atol=1e-6)
+
+    def test_three_interpolate_matches_oracle(self):
+        points = RNG.normal(size=(2, 12, 6)).astype(np.float32)
+        idx = RNG.integers(0, 12, size=(2, 40, 3)).astype(np.int32)
+        w = RNG.uniform(size=(2, 40, 3)).astype(np.float32)
+        w /= w.sum(-1, keepdims=True)
+        got = np.asarray(
+            ops.three_interpolate(jnp.asarray(points), jnp.asarray(idx), jnp.asarray(w))
+        )
+        want = oracles.three_interpolate_oracle(points, idx, w)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_three_interpolate_grad(self):
+        # finite-difference check of d/dpoints, analog of the reference's only
+        # numeric test (pointnet2_test.py:18-30, gradcheck on three_interpolate)
+        points = RNG.normal(size=(1, 4, 2)).astype(np.float64)
+        idx = RNG.integers(0, 4, size=(1, 6, 3)).astype(np.int32)
+        w = RNG.uniform(size=(1, 6, 3))
+        w /= w.sum(-1, keepdims=True)
+
+        with jax.enable_x64(True):
+
+            def f(p):
+                return jnp.sum(
+                    ops.three_interpolate(p, jnp.asarray(idx), jnp.asarray(w)) ** 2
+                )
+
+            g = np.asarray(jax.grad(f)(jnp.asarray(points)))
+            eps = 1e-6
+            for flat in range(points.size):
+                b, m, c = np.unravel_index(flat, points.shape)
+                p1, p2 = points.copy(), points.copy()
+                p1[b, m, c] += eps
+                p2[b, m, c] -= eps
+                fd = (f(jnp.asarray(p1)) - f(jnp.asarray(p2))) / (2 * eps)
+                np.testing.assert_allclose(g[b, m, c], fd, rtol=1e-4, atol=1e-6)
+
+
+class TestJitAndVmap:
+    def test_ops_jit_compile(self):
+        xyz = jnp.asarray(rand_cloud(2, 64))
+        feats = jnp.asarray(RNG.normal(size=(2, 64, 4)).astype(np.float32))
+
+        @jax.jit
+        def pipeline(xyz, feats):
+            idx = ops.furthest_point_sample(xyz, 16)
+            new_xyz = ops.gather_points(xyz, idx)
+            g = ops.query_and_group(0.4, 8, xyz, new_xyz, feats)
+            pooled = jnp.max(g, axis=2)
+            d2, nn = ops.three_nn(xyz, new_xyz)
+            d = jnp.sqrt(d2)
+            w = (1.0 / (d + 1e-8))
+            w = w / jnp.sum(w, -1, keepdims=True)
+            return ops.three_interpolate(pooled, nn, w)
+
+        out = pipeline(xyz, feats)
+        assert out.shape == (2, 64, 7)
+        assert np.isfinite(np.asarray(out)).all()

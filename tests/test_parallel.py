@@ -1,0 +1,92 @@
+"""Multi-device tests on the virtual 8-CPU-device mesh: the sharded train
+step must compile, run, and agree with the single-device step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointnet2_scannet_tpu import models
+from pointnet2_scannet_tpu.engine import train_state as ts
+from pointnet2_scannet_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    make_parallel_eval_step,
+    make_parallel_train_step,
+    replicated,
+)
+
+N = 1024
+B = 8
+
+
+def make_state_and_batch(seed=0):
+    model = models.get_model(num_classes=20, is_msg=False, input_channels=0)
+    rng = np.random.default_rng(seed)
+    pc = rng.uniform(0, 1.5, size=(B, N, 3)).astype(np.float32)
+    tx = ts.make_optimizer(ts.make_lr_schedule(1e-3, 100, 0.7, 10))
+    state = ts.create_train_state(model, jax.random.key(0), pc[:1], tx)
+    batch = {
+        "points": pc,
+        "labels": rng.integers(0, 20, size=(B, N)).astype(np.int32),
+        "weights": np.ones((B, N), np.float32),
+    }
+    return state, batch
+
+
+class TestParallelStep:
+    def test_eight_device_mesh_available(self):
+        assert len(jax.devices()) >= 8
+
+    def test_train_step_runs_on_mesh(self):
+        mesh = make_mesh(8)
+        state, batch = make_state_and_batch()
+        state = jax.device_put(state, replicated(mesh))
+        batch = jax.device_put(batch, batch_sharding(mesh))
+        step = make_parallel_train_step(mesh, num_classes=20)
+        key = jax.device_put(jax.random.key(1), replicated(mesh))
+        new_state, stats = step(state, batch, key)
+        assert np.isfinite(float(stats["loss"]))
+        assert int(new_state.step) == 1
+        cm = np.asarray(stats["confusion"])
+        assert cm.sum() == B * N  # every point counted exactly once
+
+    def test_dp_matches_single_device(self):
+        # identical batch through an 8-way mesh and a 1-way mesh -> same loss
+        state1, batch = make_state_and_batch(seed=3)
+        results = {}
+        for nd in (1, 8):
+            mesh = make_mesh(nd)
+            state = jax.device_put(state1, replicated(mesh))
+            b = jax.device_put(batch, batch_sharding(mesh))
+            step = make_parallel_train_step(mesh, num_classes=20, donate=False)
+            key = jax.device_put(jax.random.key(1), replicated(mesh))
+            new_state, stats = step(state, b, key)
+            results[nd] = (
+                float(stats["loss"]),
+                np.asarray(stats["confusion"]),
+                jax.tree_util.tree_leaves(new_state.params)[0],
+            )
+        np.testing.assert_allclose(results[1][0], results[8][0], rtol=2e-4)
+        # confusion matrices: total counts identical; individual cells may
+        # drift by a handful of points (sharded BatchNorm reduces in a
+        # different order, and near-tie argmaxes flip under float jitter)
+        assert results[1][1].sum() == results[8][1].sum() == B * N
+        drift = np.abs(results[1][1] - results[8][1]).sum()
+        assert drift <= B * N * 0.01, f"confusion drift {drift}"
+        # params after one ADAM step: where a gradient is ~0, float jitter
+        # flips the update's sign entirely (update = ±lr), so compare with a
+        # tolerance of one full lr-sized step
+        np.testing.assert_allclose(
+            np.asarray(results[1][2]), np.asarray(results[8][2]), atol=2.5e-3
+        )
+
+    def test_eval_step_preds_sharded(self):
+        mesh = make_mesh(8)
+        state, batch = make_state_and_batch()
+        state = jax.device_put(state, replicated(mesh))
+        b = jax.device_put(batch, batch_sharding(mesh))
+        estep = make_parallel_eval_step(mesh, num_classes=20)
+        out = estep(state, b)
+        assert out["preds"].shape == (B, N)
+        assert np.asarray(out["confusion"]).sum() == B * N
