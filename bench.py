@@ -53,28 +53,32 @@ def main() -> None:
 
     tx = ts.make_optimizer(ts.make_lr_schedule(1e-3, 100, 0.7, 100))
     state = ts.create_train_state(model, jax.random.key(0), pc[:1], tx)
-    state = jax.device_put(state, replicated(mesh))
-
-    batch = jax.device_put(
-        {
-            "points": pc,
-            "labels": rng.integers(0, 20, size=(BATCH, NPOINTS)).astype(np.int32),
-            "weights": np.ones((BATCH, NPOINTS), np.float32),
-        },
-        batch_sharding(mesh),
-    )
+    raw_batch = {
+        "points": pc,
+        "labels": rng.integers(0, 20, size=(BATCH, NPOINTS)).astype(np.int32),
+        "weights": np.ones((BATCH, NPOINTS), np.float32),
+    }
+    if mesh.size > 1:
+        state = jax.device_put(state, replicated(mesh))
+        batch = jax.device_put(raw_batch, batch_sharding(mesh))
+        dropout_rng = jax.device_put(jax.random.key(2), replicated(mesh))
+    else:
+        state = jax.device_put(state)
+        batch = jax.device_put(raw_batch)
+        dropout_rng = jax.random.key(2)
     step = make_parallel_train_step(mesh, num_classes=20)
-    dropout_rng = jax.device_put(jax.random.key(2), replicated(mesh))
 
-    # warmup / compile
+    # warmup / compile. NOTE: fetch the loss value (not block_until_ready) —
+    # the axon tunnel backend's block_until_ready returns before execution
+    # finishes, which would make the timing meaningless.
     for _ in range(3):
         state, stats = step(state, batch, dropout_rng)
-    jax.block_until_ready(stats["loss"])
+    float(np.asarray(stats["loss"]))
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, stats = step(state, batch, dropout_rng)
-    jax.block_until_ready(stats["loss"])
+    float(np.asarray(stats["loss"]))
     dt = time.perf_counter() - t0
 
     pps = BATCH * NPOINTS * STEPS / dt

@@ -81,21 +81,13 @@ class Solver:
             if mesh is not None
             else make_mesh(tc.num_devices, batch_size=tc.batch_size)
         )
-        self.batch_sharding = batch_sharding(self.mesh)
+        # single device: plain device_put (NamedSharding placement pays a
+        # host round trip on the tunneled single-chip backend)
+        self.batch_sharding = batch_sharding(self.mesh) if self.mesh.size > 1 else None
 
-        # train: drop the ragged trailing batch (padding would pollute the
-        # BatchNorm batch statistics with zero rows); val: pad it to the one
-        # compiled shape and mask the pad rows out of loss + metrics.
-        self.train_loader = BatchLoader(
-            train_dataset, tc.batch_size, seed=tc.seed, drop_last=True
-        )
-        self.val_loader = (
-            BatchLoader(val_dataset, tc.batch_size, seed=tc.seed, pad_last=True)
-            if val_dataset is not None
-            else None
-        )
+        self._make_loaders(train_dataset, val_dataset, tc)
 
-        steps_per_epoch = max(len(self.train_loader), 1)
+        steps_per_epoch = max(self._steps_per_epoch(), 1)
         schedule = ts.make_lr_schedule(
             tc.lr, tc.decay_step, tc.decay_factor, steps_per_epoch
         )
@@ -117,17 +109,60 @@ class Solver:
         self._global_iter = 0
         config.save(self.output_dir / "config.json")
 
+    # -------------------------------------------------------------- loaders
+
+    def _make_loaders(self, train_dataset, val_dataset, tc):
+        # train: drop the ragged trailing batch (padding would pollute the
+        # BatchNorm batch statistics with zero rows); val: pad it to the one
+        # compiled shape and mask the pad rows out of loss + metrics.
+        self.train_loader = BatchLoader(
+            train_dataset, tc.batch_size, seed=tc.seed, drop_last=True
+        )
+        self.val_loader = (
+            BatchLoader(val_dataset, tc.batch_size, seed=tc.seed, pad_last=True)
+            if val_dataset is not None
+            else None
+        )
+
+    def _steps_per_epoch(self) -> int:
+        return len(self.train_loader)
+
+    def _regenerate(self) -> None:
+        if hasattr(self.train_dataset, "generate_chunks"):
+            self.train_dataset.generate_chunks()
+        if self.val_dataset is not None and hasattr(self.val_dataset, "generate_chunks"):
+            self.val_dataset.generate_chunks()
+
+    # ----------------------------------------------------------------- resume
+
+    def resume(self, name: str = "model_last") -> int:
+        """Restore params/batch_stats/optimizer/step + best metadata from a
+        prior run in the same output dir; returns the epoch to continue from.
+        (The reference cannot resume at all — optimizer/scheduler/epoch state
+        are never saved, SURVEY.md §5.)"""
+        from pointnet2_scannet_tpu.engine.checkpoint import restore_checkpoint
+
+        self.state, meta = restore_checkpoint(self.output_dir, name, self.state)
+        if meta.get("best"):
+            self.best = meta["best"]
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        self._global_iter = start_epoch * max(len(self.train_loader), 1)
+        return start_epoch
+
     # ------------------------------------------------------------------ train
 
-    def __call__(self, epochs: int | None = None, verbose: int | None = None):
+    def __call__(
+        self,
+        epochs: int | None = None,
+        verbose: int | None = None,
+        start_epoch: int = 0,
+    ):
         tc = self.config.train
         epochs = epochs if epochs is not None else tc.epochs
         verbose = verbose if verbose is not None else tc.verbose
         t_start = time.time()
-        for epoch in range(epochs):
-            self.train_dataset.generate_chunks()
-            if self.val_dataset is not None:
-                self.val_dataset.generate_chunks()
+        for epoch in range(start_epoch, epochs):
+            self._regenerate()
 
             train_stats = self._run_train_epoch(epoch, epochs, verbose, t_start)
             self.logger.add_scalars("train", train_stats, epoch)
@@ -256,5 +291,178 @@ class Solver:
             stats["voxel_miou"] = float(np.mean(vox_mious))
         else:
             # fall back to point mIoU for best-model gating
+            stats["voxel_miou"] = stats["point_miou"]
+        return stats
+
+
+class _SceneBatchIterator:
+    """Pads a scene's column stack to a multiple of the micro-batch size and
+    yields fixed-shape micro-batches with row masks."""
+
+    def __init__(self, dataset, batch_size: int):
+        self.dataset = dataset
+        self.batch_size = batch_size
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def scenes(self):
+        for i in range(len(self.dataset)):
+            feats, labels, weights = self.dataset.get_scene(i)
+            yield self.dataset.store.scene_ids[i], self.micro_batches(
+                feats, labels, weights
+            )
+
+    def micro_batches(self, feats, labels, weights):
+        B = self.batch_size
+        S = feats.shape[0]
+        for start in range(0, S, B):
+            f = feats[start : start + B]
+            l = labels[start : start + B]
+            w = weights[start : start + B]
+            real = f.shape[0]
+            if real < B:
+                pad = B - real
+                f = np.concatenate([f, np.zeros((pad,) + f.shape[1:], f.dtype)])
+                l = np.concatenate([l, np.zeros((pad,) + l.shape[1:], l.dtype)])
+                w = np.concatenate([w, np.zeros((pad,) + w.shape[1:], w.dtype)])
+            row_mask = np.zeros(B, np.float32)
+            row_mask[:real] = 1.0
+            yield {
+                "points": f,
+                "labels": l,
+                "weights": w,
+                "row_mask": row_mask,
+            }
+
+
+class WholeSceneSolver(Solver):
+    """Whole-scene training: ONE optimizer update per scene, the scene's
+    1.5m-column stack streamed through fixed-size micro-batches with gradient
+    accumulation (the reference's --use_wholescene mode, where the solver
+    forwards torch.split chunks of a whole scene and backprops the combined
+    loss, lib/solver.py:155-169 + scripts/train.py --use_wholescene).
+
+    train_dataset / val_dataset are WholeSceneDataset instances.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        from pointnet2_scannet_tpu.parallel.step import (
+            make_parallel_accum_step,
+            make_parallel_apply_accum,
+        )
+
+        self._accum_step = make_parallel_accum_step(
+            self.mesh, num_classes=self.num_classes
+        )
+        self._apply_accum = make_parallel_apply_accum(self.mesh)
+
+    def _make_loaders(self, train_dataset, val_dataset, tc):
+        self.train_loader = _SceneBatchIterator(train_dataset, tc.batch_size)
+        self.val_loader = (
+            _SceneBatchIterator(val_dataset, tc.batch_size)
+            if val_dataset is not None
+            else None
+        )
+
+    def _steps_per_epoch(self) -> int:
+        return len(self.train_loader)  # one update per scene
+
+    def _run_train_epoch(self, epoch, epochs, verbose, t_start):
+        losses, cms = [], []
+        iters = len(self.train_loader)
+        for it, (scene_id, micro_batches) in enumerate(self.train_loader.scenes()):
+            t_iter = time.time()
+            grads_sum = None
+            stats_sum = None
+            loss_sum = None
+            count_sum = None
+            cm_sum = None
+            for mi, mb in enumerate(micro_batches):
+                mb = jax.device_put(mb, self.batch_sharding)
+                grads, new_bs, ls, cnt, cm = self._accum_step(
+                    self.state, mb, self.dropout_rng, np.int32(mi)
+                )
+                self.state = self.state.replace(batch_stats=new_bs)
+                if grads_sum is None:
+                    grads_sum, loss_sum, count_sum, cm_sum = grads, ls, cnt, cm
+                else:
+                    grads_sum = jax.tree_util.tree_map(
+                        lambda a, b: a + b, grads_sum, grads
+                    )
+                    loss_sum = loss_sum + ls
+                    count_sum = count_sum + cnt
+                    cm_sum = cm_sum + cm
+            self.state = self._apply_accum(self.state, grads_sum, count_sum)
+            loss = float(np.asarray(loss_sum)) / max(float(np.asarray(count_sum)), 1.0)
+            losses.append(loss)
+            cms.append(np.asarray(cm_sum))
+            if (it + 1) % verbose == 0:
+                pm = M.confusion_to_point_metrics(np.sum(cms[-verbose:], axis=0))
+                print(
+                    ITER_REPORT.format(
+                        epoch=epoch + 1,
+                        epochs=epochs,
+                        iter=it + 1,
+                        iters=iters,
+                        loss=float(np.mean(losses[-verbose:])),
+                        point_acc=pm["point_acc"],
+                        point_miou=pm["point_miou"],
+                        fetch=0.0,
+                        step=time.time() - t_iter,
+                        eta_h=0, eta_m=0, eta_s=0,
+                    ),
+                    flush=True,
+                )
+        self._global_iter += iters
+        cm_total = np.sum(cms, axis=0) if cms else np.zeros(
+            (self.num_classes, self.num_classes)
+        )
+        out = {"loss": float(np.mean(losses))} if losses else {"loss": float("nan")}
+        out.update(M.confusion_to_point_metrics(cm_total))
+        return out
+
+    def _run_val_epoch(self):
+        losses, cms = [], []
+        vox_accs, vox_cali, vox_mious = [], [], []
+        for scene_id, micro_batches in self.val_loader.scenes():
+            scene_preds, scene_coords, scene_targets, scene_weights = [], [], [], []
+            for mb in micro_batches:
+                mb_dev = jax.device_put(mb, self.batch_sharding)
+                out = self._eval_step(self.state, mb_dev)
+                losses.append(out["loss"])
+                cms.append(out["confusion"])
+                real = mb["row_mask"] > 0
+                scene_coords.append(mb["points"][real][..., :3].reshape(-1, 3))
+                scene_preds.append(np.asarray(out["preds"])[real].reshape(-1))
+                scene_targets.append(mb["labels"][real].reshape(-1))
+                scene_weights.append(mb["weights"][real].reshape(-1))
+            if self.compute_voxel_metrics and scene_preds:
+                coords = np.concatenate(scene_coords)
+                preds = np.concatenate(scene_preds)
+                targets = np.concatenate(scene_targets)
+                weights = np.concatenate(scene_weights)
+                (_, _, voxacc, _, cali, _) = M.compute_acc(
+                    coords, preds, targets, weights, self.num_classes
+                )[0:6]
+                _, voxmiou, miou_mask = M.compute_miou(
+                    coords, preds, targets, weights, self.num_classes
+                )
+                vox_accs.append(voxacc)
+                vox_cali.append(cali)
+                vox_mious.append(
+                    np.sum(voxmiou * miou_mask) / max(np.sum(miou_mask), 1)
+                )
+        if not cms:
+            raise RuntimeError("validation produced no batches")
+        cm_total = np.sum([np.asarray(c) for c in cms], axis=0)
+        stats = {"loss": float(np.mean([np.asarray(l) for l in losses]))}
+        stats.update(M.confusion_to_point_metrics(cm_total))
+        if self.compute_voxel_metrics and vox_mious:
+            stats["voxel_acc"] = float(np.mean(vox_accs))
+            stats["voxel_acc_calibrated"] = float(np.mean(vox_cali))
+            stats["voxel_miou"] = float(np.mean(vox_mious))
+        else:
             stats["voxel_miou"] = stats["point_miou"]
         return stats

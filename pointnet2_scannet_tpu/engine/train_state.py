@@ -99,6 +99,55 @@ def train_step(
     return state, {"loss": loss, "confusion": cm}
 
 
+def grad_accum_step(
+    state: TrainState,
+    batch: dict[str, jnp.ndarray],
+    dropout_rng: jax.Array,
+    micro_idx: jnp.ndarray,
+    *,
+    num_classes: int,
+):
+    """One micro-batch of a gradient-accumulated step (whole-scene training,
+    the reference's --use_wholescene path: ONE optimizer update per scene,
+    forward over the scene's column stack in fixed-size chunks,
+    lib/solver.py:155-169).
+
+    Returns (grads_of_loss_SUM, new_batch_stats, loss_sum, point_count, cm);
+    the caller accumulates across micro-batches and applies one update with
+    grads scaled by 1/total_points (grad of the mean).
+    """
+    rng = jax.random.fold_in(jax.random.fold_in(dropout_rng, state.step), micro_idx)
+    row_mask = batch.get("row_mask")
+    if row_mask is None:
+        row_mask = jnp.ones(batch["labels"].shape[0], jnp.float32)
+
+    def loss_sum_fn(params):
+        logits, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["points"],
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, batch["labels"])
+        loss_sum = jnp.sum(ce * batch["weights"] * row_mask[:, None])
+        return loss_sum, (logits, mutated["batch_stats"])
+
+    (loss_sum, (logits, new_batch_stats)), grads = jax.value_and_grad(
+        loss_sum_fn, has_aux=True
+    )(state.params)
+    preds = jnp.argmax(logits, axis=-1)
+    cm = confusion_matrix(preds, batch["labels"], num_classes, row_mask)
+    count = jnp.sum(row_mask) * batch["labels"].shape[-1]
+    return grads, new_batch_stats, loss_sum, count, cm
+
+
+def apply_accumulated(state: TrainState, grads_sum, total_count: jnp.ndarray) -> TrainState:
+    """Apply one optimizer update from accumulated sum-gradients."""
+    grads = jax.tree_util.tree_map(lambda g: g / total_count, grads_sum)
+    return state.apply_gradients(grads=grads)
+
+
 def eval_step(
     state: TrainState,
     batch: dict[str, jnp.ndarray],

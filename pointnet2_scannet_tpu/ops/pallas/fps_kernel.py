@@ -2,12 +2,21 @@
 
 FPS is the one inherently sequential primitive (npoint dependent iterations,
 sampling_gpu.cu:89-172). The XLA fallback runs the whole (B, N) distance
-update + argmax per step from HBM; this kernel instead keeps the per-batch
-coordinate block and the running min-distance array resident in VMEM for the
-entire selection loop — one HBM read of xyz, one HBM write of the indices.
+update + argmax per step from HBM; this kernel keeps everything VMEM-resident
+for the entire selection loop — one HBM read of xyz, one HBM write of the
+indices.
 
-Grid: one program per batch element. Layout inside the kernel: coordinates
-as (3, N) so the N axis rides the 128-wide lanes; distances as (1, N) f32.
+Layout: the WHOLE batch is processed in one program (grid=()) with batch on
+the sublane axis and points on the 128-wide lane axis — every per-iteration
+op is a (B, N) VPU op covering all batch rows at once. (A one-program-per-
+batch-row grid serializes on a single TensorCore: B x npoint sequential
+iterations instead of npoint.) VMEM footprint: 4 x (B, N) f32 buffers — for
+B=32, N=8192 that's 4 MB of the ~16 MB budget.
+
+The selected point's coordinates are fetched with a one-hot masked max
+(lane-crossing dynamic gathers are not vectorizable on TPU); the new index
+is blended into the output row with a masked full-row write (VMEM takes no
+scalar stores).
 """
 
 from __future__ import annotations
@@ -21,20 +30,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fps_kernel(
-    xyz_ref, out_ref, mind_ref, idx_ref, *, npoint: int, skip_near_origin: bool
-):
-    """xyz_ref: (1, 3, N) VMEM; out_ref: (1, 1, npoint_padded) int32;
-    mind: (1, N) f32 scratch; idx: (1, npoint_padded) int32 scratch.
-
-    TPU VMEM takes no scalar stores, so each selected index is blended into
-    the idx scratch row with a masked full-row write (npoint lanes, VPU) and
-    the row is flushed to the output once at the end.
-    """
-    x = xyz_ref[0, 0, :][None, :]  # (1, N)
-    y = xyz_ref[0, 1, :][None, :]
-    z = xyz_ref[0, 2, :][None, :]
-    n = x.shape[-1]
+def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, *, npoint: int,
+                skip_near_origin: bool):
+    """x/y/z: (B, N) f32 VMEM; out: (B, npoint_padded) int32;
+    mind: (B, N) f32 scratch."""
+    x = x_ref[...]
+    y = y_ref[...]
+    z = z_ref[...]
 
     if skip_near_origin:
         # reference skips points with |p|^2 <= 1e-3 (sampling_gpu.cu:100-101)
@@ -42,55 +44,57 @@ def _fps_kernel(
     else:
         valid = jnp.ones_like(x, dtype=jnp.bool_)
 
-    mind_ref[...] = jnp.full((1, n), 1e10, jnp.float32)
-    idx_ref[...] = jnp.zeros_like(idx_ref)
+    mind_ref[...] = jnp.full(x.shape, 1e10, jnp.float32)
+    out_ref[...] = jnp.zeros_like(out_ref)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    slot = jax.lax.broadcasted_iota(jnp.int32, idx_ref.shape, 1)
+    col = lax.broadcasted_iota(jnp.int32, x.shape, 1)  # (B, N)
+    slot = lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)  # (B, P)
 
     def body(j, last):
-        # gather the previously selected point's coordinates
+        # last: (B, 1) indices of the previously selected points
         sel = col == last
-        x1 = jnp.max(jnp.where(sel, x, -jnp.inf))
-        y1 = jnp.max(jnp.where(sel, y, -jnp.inf))
-        z1 = jnp.max(jnp.where(sel, z, -jnp.inf))
+        neg = jnp.float32(-jnp.inf)
+        x1 = jnp.max(jnp.where(sel, x, neg), axis=1, keepdims=True)
+        y1 = jnp.max(jnp.where(sel, y, neg), axis=1, keepdims=True)
+        z1 = jnp.max(jnp.where(sel, z, neg), axis=1, keepdims=True)
         d = (x - x1) ** 2 + (y - y1) ** 2 + (z - z1) ** 2
         mind = jnp.minimum(mind_ref[...], d)
         mind_ref[...] = mind
         cand = jnp.where(valid, mind, -1.0)
-        # lowest-index-wins argmax over the lane axis
-        best = jnp.argmax(cand, axis=-1)[0].astype(jnp.int32)
-        idx_ref[...] = jnp.where(slot == j, best, idx_ref[...])
+        # lowest-index-wins argmax over lanes, batched over sublanes
+        best = jnp.argmax(cand, axis=1, keepdims=True).astype(jnp.int32)
+        out_ref[...] = jnp.where(slot == j, best, out_ref[...])
         return best
 
-    lax.fori_loop(1, npoint, body, jnp.int32(0))
-    out_ref[0, ...] = idx_ref[...]
+    lax.fori_loop(1, npoint, body, jnp.zeros((x.shape[0], 1), jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("npoint", "skip_near_origin"))
+@functools.partial(
+    jax.jit, static_argnames=("npoint", "skip_near_origin", "interpret")
+)
 def furthest_point_sample_pallas(
-    xyz: jnp.ndarray, npoint: int, *, skip_near_origin: bool = True
+    xyz: jnp.ndarray,
+    npoint: int,
+    *,
+    skip_near_origin: bool = True,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """(B, N, 3) float32 -> (B, npoint) int32, VMEM-resident selection loop."""
     B, N, _ = xyz.shape
-    xyz_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))  # (B, 3, N)
+    xyz = xyz.astype(jnp.float32)
+    x = xyz[:, :, 0]
+    y = xyz[:, :, 1]
+    z = xyz[:, :, 2]
     npoint_pad = max(((npoint + 127) // 128) * 128, 128)
     kernel = functools.partial(
         _fps_kernel, npoint=npoint, skip_near_origin=skip_near_origin
     )
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, 3, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, npoint_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, 1, npoint_pad), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((1, N), jnp.float32),
-            pltpu.VMEM((1, npoint_pad), jnp.int32),
-        ],
-    )(xyz_t)
-    return out[:, 0, :npoint]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, npoint_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((B, N), jnp.float32)],
+        interpret=interpret,
+    )(x, y, z)
+    return out[:, :npoint]

@@ -7,13 +7,32 @@ replicated, and XLA's partitioner inserts the gradient psum — no hand-written
 collectives on the hot path.
 """
 
-from pointnet2_scannet_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
-from pointnet2_scannet_tpu.parallel.step import make_parallel_train_step, make_parallel_eval_step
+from pointnet2_scannet_tpu.parallel.mesh import (
+    make_mesh,
+    make_mesh_2d,
+    batch_sharding,
+    replicated,
+    shard_train_state,
+    train_state_shardings,
+)
+from pointnet2_scannet_tpu.parallel.step import (
+    make_parallel_train_step,
+    make_parallel_eval_step,
+    make_parallel_accum_step,
+    make_parallel_apply_accum,
+    make_sharded_train_step,
+)
 
 __all__ = [
     "make_mesh",
+    "make_mesh_2d",
     "batch_sharding",
     "replicated",
+    "shard_train_state",
+    "train_state_shardings",
     "make_parallel_train_step",
     "make_parallel_eval_step",
+    "make_parallel_accum_step",
+    "make_parallel_apply_accum",
+    "make_sharded_train_step",
 ]

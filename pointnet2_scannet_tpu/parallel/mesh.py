@@ -31,6 +31,16 @@ def make_mesh(
     return Mesh(np.asarray(devices[:num_devices]), (axis_name,))
 
 
+def make_mesh_2d(
+    dp: int, tp: int, *, axis_names: tuple[str, str] = ("dp", "tp")
+) -> Mesh:
+    """2-D mesh: data parallelism x tensor parallelism."""
+    devices = jax.devices()
+    if dp * tp > len(devices):
+        raise ValueError(f"requested {dp}x{tp} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[: dp * tp]).reshape(dp, tp), axis_names)
+
+
 def batch_sharding(mesh: Mesh, *, axis_name: str = "dp") -> NamedSharding:
     """Shard the leading (batch) axis over the dp mesh axis."""
     return NamedSharding(mesh, P(axis_name))
@@ -38,3 +48,35 @@ def batch_sharding(mesh: Mesh, *, axis_name: str = "dp") -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def train_state_shardings(state, mesh: Mesh, *, tp_axis: str = "tp"):
+    """Tensor-parallel sharding tree for a TrainState, by leaf shape.
+
+    Every 2-D leaf is a pointwise-MLP (Dense) kernel (in, out) -> sharded
+    P(None, tp) over the output channels; 1-D leaves (biases, BN scale/bias/
+    stats, and the matching Adam moments) -> P(tp). Dimensions not divisible
+    by the tp size stay replicated (e.g. the 20-class head). Scalars (step,
+    Adam count) stay replicated. Activations are left to GSPMD propagation:
+    x[P(dp)] @ W[P(None, tp)] yields channel-sharded activations with the
+    partitioner inserting the all-gathers/reduce-scatters over ICI.
+    """
+    tp = mesh.shape[tp_axis]
+
+    def spec_for(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) == 2 and shape[1] % tp == 0:
+            return NamedSharding(mesh, P(None, tp_axis))
+        if len(shape) == 1 and shape[0] % tp == 0 and shape[0] >= tp:
+            return NamedSharding(mesh, P(tp_axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec_for, state)
+
+
+def shard_train_state(state, mesh: Mesh, *, tp_axis: str | None = None):
+    """device_put a TrainState onto the mesh — replicated, or tensor-parallel
+    when the mesh has a tp axis."""
+    if tp_axis is not None and tp_axis in mesh.axis_names and mesh.shape[tp_axis] > 1:
+        return jax.device_put(state, train_state_shardings(state, mesh, tp_axis=tp_axis))
+    return jax.device_put(state, replicated(mesh))

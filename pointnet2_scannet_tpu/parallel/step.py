@@ -24,9 +24,14 @@ def make_parallel_train_step(mesh: Mesh, *, num_classes: int, donate: bool = Tru
     Returns fn(state, batch, rng) -> (state, stats); `batch` arrays must have
     a leading batch axis divisible by the mesh's dp size.
     """
+    step = functools.partial(ts.train_step, num_classes=num_classes)
+    if mesh.size == 1:
+        # single device: skip sharding annotations entirely — on the tunneled
+        # single-chip backend, sharding-annotated programs pay a per-step
+        # host round trip of the whole train state
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
     rep = replicated(mesh)
     shard = batch_sharding(mesh)
-    step = functools.partial(ts.train_step, num_classes=num_classes)
     # `shard` is a pytree-prefix: every batch leaf (points/labels/weights/
     # row_mask) is split on its leading axis over 'dp'
     return jax.jit(
@@ -37,11 +42,49 @@ def make_parallel_train_step(mesh: Mesh, *, num_classes: int, donate: bool = Tru
     )
 
 
-def make_parallel_eval_step(mesh: Mesh, *, num_classes: int):
-    """Build a jitted data-parallel eval step; preds come back batch-sharded."""
+def make_sharded_train_step(*, num_classes: int, donate: bool = True):
+    """Sharding-agnostic train step: no explicit in_shardings — the layout
+    follows the data (use parallel.mesh.shard_train_state for tp/dp placement
+    of the state and batch_sharding for the batch). GSPMD propagates the
+    shardings through the whole step and inserts the collectives."""
+    step = functools.partial(ts.train_step, num_classes=num_classes)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_parallel_accum_step(mesh: Mesh, *, num_classes: int):
+    """Gradient-accumulation micro-step for whole-scene training: batch rows
+    sharded over dp, accumulated outputs replicated."""
+    step = functools.partial(ts.grad_accum_step, num_classes=num_classes)
+    if mesh.size == 1:
+        return jax.jit(step)
     rep = replicated(mesh)
     shard = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, shard, rep, rep),
+        out_shardings=(rep, rep, rep, rep, rep),
+    )
+
+
+def make_parallel_apply_accum(mesh: Mesh):
+    if mesh.size == 1:
+        return jax.jit(ts.apply_accumulated, donate_argnums=(0,))
+    rep = replicated(mesh)
+    return jax.jit(
+        ts.apply_accumulated,
+        in_shardings=(rep, rep, rep),
+        out_shardings=rep,
+        donate_argnums=(0,),
+    )
+
+
+def make_parallel_eval_step(mesh: Mesh, *, num_classes: int):
+    """Build a jitted data-parallel eval step; preds come back batch-sharded."""
     step = functools.partial(ts.eval_step, num_classes=num_classes)
+    if mesh.size == 1:
+        return jax.jit(step)
+    rep = replicated(mesh)
+    shard = batch_sharding(mesh)
     return jax.jit(
         step,
         in_shardings=(rep, shard),

@@ -101,19 +101,36 @@ def train(args) -> None:
 
     enable_compilation_cache()
     from pointnet2_scannet_tpu import models
-    from pointnet2_scannet_tpu.data import ChunkedSceneDataset
+    from pointnet2_scannet_tpu.data import ChunkedSceneDataset, WholeSceneDataset
     from pointnet2_scannet_tpu.engine import Solver
+    from pointnet2_scannet_tpu.engine.solver import WholeSceneSolver
 
-    cfg = build_config(args)
-    stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
-    if args.tag:
-        stamp += "_" + args.tag.upper()
-    output_dir = pathlib.Path(cfg.paths.output_root) / stamp
-    output_dir.mkdir(parents=True, exist_ok=True)
+    if args.resume:
+        from pointnet2_scannet_tpu.config import RunConfig
+
+        output_dir = pathlib.Path(args.resume)
+        cfg = RunConfig.load(output_dir / "config.json")
+    else:
+        cfg = build_config(args)
+        stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
+        if args.tag:
+            stamp += "_" + args.tag.upper()
+        output_dir = pathlib.Path(cfg.paths.output_root) / stamp
+        output_dir.mkdir(parents=True, exist_ok=True)
 
     train_store, val_store = make_stores(cfg, args)
-    train_ds = ChunkedSceneDataset(train_store, cfg.data, phase="train", seed=args.seed)
-    val_ds = ChunkedSceneDataset(val_store, cfg.data, phase="val", seed=args.seed + 1)
+    if args.use_wholescene:
+        # whole-scene training: one gradient-accumulated update per scene
+        # (reference --use_wholescene, scripts/train.py:23 + solver.py:155-169)
+        train_ds = WholeSceneDataset(train_store, cfg.data, seed=args.seed)
+        val_ds = WholeSceneDataset(val_store, cfg.data, seed=args.seed + 1)
+        solver_cls = WholeSceneSolver
+    else:
+        train_ds = ChunkedSceneDataset(
+            train_store, cfg.data, phase="train", seed=args.seed
+        )
+        val_ds = ChunkedSceneDataset(val_store, cfg.data, phase="val", seed=args.seed + 1)
+        solver_cls = Solver
 
     model = models.get_model(
         num_classes=cfg.model.num_classes,
@@ -122,7 +139,7 @@ def train(args) -> None:
         use_xyz=cfg.model.use_xyz,
         bn=cfg.model.bn,
     )
-    solver = Solver(model, train_ds, val_ds, cfg, output_dir)
+    solver = solver_cls(model, train_ds, val_ds, cfg, output_dir)
 
     info = {
         **vars(args),
@@ -134,8 +151,9 @@ def train(args) -> None:
     }
     (output_dir / "info.json").write_text(json.dumps(info, indent=2, default=str))
 
-    print(f"training -> {output_dir}")
-    best = solver()
+    start_epoch = solver.resume() if args.resume else 0
+    print(f"training -> {output_dir} (from epoch {start_epoch})")
+    best = solver(start_epoch=start_epoch)
     print("best:", best)
 
 
@@ -162,6 +180,7 @@ def parse_args(argv=None):
     p.add_argument("--no_bn", action="store_true")
     p.add_argument("--no_xyz", action="store_true")
     p.add_argument("--use_msg", action="store_true")
+    p.add_argument("--use_wholescene", action="store_true")
     p.add_argument("--use_color", action="store_true")
     p.add_argument("--use_normal", action="store_true")
     p.add_argument("--use_multiview", action="store_true")
@@ -173,6 +192,10 @@ def parse_args(argv=None):
     p.add_argument("--output_root", type=str, default="outputs")
     p.add_argument("--synthetic", action="store_true", help="use generated scenes")
     p.add_argument("--synthetic_scenes", type=int, default=8)
+    p.add_argument(
+        "--resume", type=str, default=None,
+        help="run output dir to resume from (restores full train state)",
+    )
     return p.parse_args(argv)
 
 

@@ -1,0 +1,72 @@
+"""Whole-scene evaluator tests with a stub model (no TPU/compile cost)."""
+
+import numpy as np
+import pytest
+
+from pointnet2_scannet_tpu.config import DataConfig
+from pointnet2_scannet_tpu.data.synthetic import make_synthetic_store
+from pointnet2_scannet_tpu.data.wholescene import WholeSceneDataset
+from pointnet2_scannet_tpu.engine.evaluator import WholeSceneEvaluator
+
+
+def perfect_apply(variables, pc, train=False):
+    """Oracle model: reads the label planted in the feature column."""
+    import jax.numpy as jnp
+
+    labels = pc[..., 3].astype(jnp.int32)  # planted label channel
+    return jnp.eye(20)[labels] * 10.0  # one-hot logits
+
+
+class TestWholeSceneEvaluator:
+    def make_data(self, n=3000):
+        rng = np.random.default_rng(0)
+        feats = rng.uniform(0, 3, size=(5, 512, 4)).astype(np.float32)
+        labels = rng.integers(0, 20, size=(5, 512)).astype(np.int32)
+        feats[..., 3] = labels  # plant the label for the oracle model
+        weights = np.ones((5, 512), np.float32)
+        return feats, labels, weights
+
+    def test_perfect_model_scores_one(self):
+        feats, labels, weights = self.make_data()
+        ev = WholeSceneEvaluator(perfect_apply, {}, batch_size=2)
+        r = ev.eval_scene("s", feats, labels, weights)
+        assert r.point_acc == 1.0
+        seen = r.acc_mask.astype(bool)
+        np.testing.assert_allclose(r.point_acc_per_class[seen], 1.0)
+        np.testing.assert_allclose(r.point_miou[seen], 1.0)
+        np.testing.assert_allclose(r.voxel_miou[r.miou_mask.astype(bool)], 1.0)
+
+    def test_padded_last_minibatch(self):
+        # 5 column stacks with batch_size 2 -> last minibatch padded
+        feats, labels, weights = self.make_data()
+        ev = WholeSceneEvaluator(perfect_apply, {}, batch_size=2)
+        preds = ev.predict_scene(feats)
+        assert preds.shape == (5, 512)
+        np.testing.assert_array_equal(preds, labels)
+
+    def test_aggregate_masked_average(self):
+        feats, labels, weights = self.make_data()
+        ev = WholeSceneEvaluator(perfect_apply, {}, batch_size=4)
+        r1 = ev.eval_scene("a", feats, labels, weights)
+        # second scene with only class 0 present
+        f2 = feats.copy()
+        l2 = np.zeros_like(labels)
+        f2[..., 3] = 0
+        r2 = ev.eval_scene("b", f2, l2, weights)
+        report = ev.aggregate([r1, r2])
+        assert report.point_acc == 1.0
+        np.testing.assert_allclose(report.point_miou, 1.0, rtol=1e-6)
+        # class 0 seen in both scenes, others only in scene a
+        np.testing.assert_allclose(report.per_class_point_acc[0], 1.0, rtol=1e-6)
+
+    def test_evaluate_on_synthetic_store(self):
+        store = make_synthetic_store(1, n_points=8000)
+        ds = WholeSceneDataset(store, DataConfig(npoints=256), seed=0)
+        ev = WholeSceneEvaluator(
+            lambda v, pc, train=False: np.zeros(pc.shape[:2] + (20,)), {},
+            batch_size=4,
+        )
+        report = ev.evaluate(ds, verbose=False)
+        # constant-zero logits predict class 0 ('floor') everywhere
+        assert 0.0 <= report.point_acc <= 1.0
+        assert report.per_class_point_acc.shape == (20,)

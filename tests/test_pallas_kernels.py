@@ -1,0 +1,41 @@
+"""Pallas kernel parity tests, run in interpreter mode on the CPU backend
+(real-TPU execution is exercised by scripts/profile_ops.py and the bench)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pointnet2_scannet_tpu.ops.pallas.fps_kernel import furthest_point_sample_pallas
+from pointnet2_scannet_tpu.ops.sampling import furthest_point_sample
+from tests import oracles
+
+RNG = np.random.default_rng(5)
+
+
+class TestFpsPallas:
+    def test_matches_xla_and_oracle(self):
+        xyz = RNG.uniform(0, 1.5, size=(4, 256, 3)).astype(np.float32)
+        got = np.asarray(
+            furthest_point_sample_pallas(jnp.asarray(xyz), 64, interpret=True)
+        )
+        want_xla = np.asarray(
+            furthest_point_sample(jnp.asarray(xyz), 64, use_pallas=False)
+        )
+        want_oracle = oracles.fps_oracle(xyz, 64)
+        np.testing.assert_array_equal(got, want_xla)
+        np.testing.assert_array_equal(got, want_oracle)
+
+    def test_near_origin_skip(self):
+        xyz = RNG.uniform(0.5, 1.5, size=(2, 128, 3)).astype(np.float32)
+        xyz[0, 5] = [0.01, 0.0, 0.01]
+        got = np.asarray(
+            furthest_point_sample_pallas(jnp.asarray(xyz), 32, interpret=True)
+        )
+        np.testing.assert_array_equal(got, oracles.fps_oracle(xyz, 32))
+        assert 5 not in got[0]
+
+    def test_non_multiple_of_128_npoint(self):
+        xyz = RNG.uniform(0, 1.5, size=(2, 200, 3)).astype(np.float32)
+        got = np.asarray(
+            furthest_point_sample_pallas(jnp.asarray(xyz), 16, interpret=True)
+        )
+        np.testing.assert_array_equal(got, oracles.fps_oracle(xyz, 16))

@@ -90,3 +90,43 @@ class TestParallelStep:
         out = estep(state, b)
         assert out["preds"].shape == (B, N)
         assert np.asarray(out["confusion"]).sum() == B * N
+
+
+class TestTensorParallel:
+    def test_dp_tp_mesh_matches_dp_only(self):
+        from pointnet2_scannet_tpu.parallel import (
+            make_mesh_2d,
+            make_sharded_train_step,
+            shard_train_state,
+        )
+
+        state0, batch = make_state_and_batch(seed=7)
+        results = {}
+        for dp, tp in ((8, 1), (4, 2)):
+            mesh = make_mesh_2d(dp, tp)
+            state = shard_train_state(state0, mesh, tp_axis="tp")
+            b = jax.device_put(batch, batch_sharding(mesh))
+            key = jax.device_put(jax.random.key(1), replicated(mesh))
+            step = make_sharded_train_step(num_classes=20, donate=False)
+            new_state, stats = step(state, b, key)
+            results[(dp, tp)] = (float(stats["loss"]), np.asarray(stats["confusion"]))
+        np.testing.assert_allclose(
+            results[(8, 1)][0], results[(4, 2)][0], rtol=2e-4
+        )
+        assert results[(4, 2)][1].sum() == B * N
+
+    def test_tp_actually_shards_kernels(self):
+        from pointnet2_scannet_tpu.parallel import make_mesh_2d, shard_train_state
+
+        state0, _ = make_state_and_batch(seed=7)
+        mesh = make_mesh_2d(2, 4)
+        state = shard_train_state(state0, mesh, tp_axis="tp")
+        # find a 2-D Dense kernel and check its sharding spec uses 'tp'
+        leaves = jax.tree_util.tree_leaves_with_path(state.params)
+        found = False
+        for path, leaf in leaves:
+            if leaf.ndim == 2 and leaf.shape[1] % 4 == 0:
+                spec = leaf.sharding.spec
+                assert spec == jax.sharding.PartitionSpec(None, "tp"), (path, spec)
+                found = True
+        assert found
