@@ -57,3 +57,23 @@ class PointwiseMLP(nn.Module):
             if self.last_act or i < n - 1:
                 x = nn.relu(x)
         return x
+
+
+class RandomDropout(nn.Module):
+    """Dropout with a per-call random rate theta ~ U(0, p) and NO 1/(1-p)
+    rescaling (reference RandomDropout + feature_dropout_no_scaling,
+    pointnet2_utils.py:40-48)."""
+
+    p: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if deterministic or self.p == 0.0:
+            return x
+        import jax
+
+        rng = self.make_rng("dropout")
+        theta_rng, mask_rng = jax.random.split(rng)
+        theta = jax.random.uniform(theta_rng, (), minval=0.0, maxval=self.p)
+        keep = jax.random.bernoulli(mask_rng, 1.0 - theta, x.shape)
+        return jnp.where(keep, x, 0.0)

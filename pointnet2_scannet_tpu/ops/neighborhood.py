@@ -130,3 +130,38 @@ def group_all(
             return jnp.concatenate([grouped_xyz, grouped_features], axis=-1)
         return grouped_features
     return grouped_xyz
+
+
+def unique_neighbor_count(idx: jnp.ndarray) -> jnp.ndarray:
+    """Number of distinct neighbors per ball-query row.
+
+    Exploits this ball_query's output invariant: distinct hits form a
+    strictly-ascending prefix, padding repeats the first hit. Matches
+    torch.unique-based counting in the reference's sample_uniformly path
+    (pointnet2_utils.py:46-49), including the ambiguity that an empty ball
+    (all-zero row) counts as one unique neighbor.
+    """
+    increasing = idx[..., 1:] > idx[..., :-1]
+    prefix = jnp.cumprod(increasing.astype(jnp.int32), axis=-1)
+    return 1 + jnp.sum(prefix, axis=-1)
+
+
+def uniform_resample_neighbors(
+    key, idx: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Replace ball-query padding with uniform draws from each ball's unique
+    neighbor set (QueryAndGroup(sample_uniformly=True),
+    pointnet2_utils.py:43-52).
+
+    Returns (resampled idx (B, M, K), unique_cnt (B, M)).
+    """
+    import jax
+
+    B, M, K = idx.shape
+    cnt = unique_neighbor_count(idx)  # (B, M)
+    slots = lax.broadcasted_iota(jnp.int32, (B, M, K), 2)
+    rand = jax.random.randint(key, (B, M, K), 0, 1 << 30)
+    pick = rand % cnt[..., None]  # uniform position within the unique prefix
+    resampled_vals = jnp.take_along_axis(idx, pick, axis=-1)
+    out = jnp.where(slots < cnt[..., None], idx, resampled_vals)
+    return out.astype(jnp.int32), cnt.astype(jnp.int32)

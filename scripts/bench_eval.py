@@ -1,0 +1,62 @@
+"""Whole-scene evaluation throughput benchmark (BASELINE.md row:
+"Whole-scene eval scenes/sec — reported alongside").
+
+Tiles synthetic scenes and measures end-to-end scenes/sec through the
+WholeSceneEvaluator (forward + argmax + metrics), printing one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main(n_scenes: int = 4) -> None:
+    import jax
+
+    from pointnet2_scannet_tpu import models
+    from pointnet2_scannet_tpu.config import DataConfig
+    from pointnet2_scannet_tpu.data.synthetic import make_synthetic_store
+    from pointnet2_scannet_tpu.data.wholescene import WholeSceneDataset
+    from pointnet2_scannet_tpu.engine.evaluator import WholeSceneEvaluator
+    from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    store = make_synthetic_store(n_scenes, n_points=100_000)
+    ds = WholeSceneDataset(
+        store, DataConfig(npoints=8192, use_color=True, use_normal=True), seed=0
+    )
+    model = models.get_model(20, is_msg=False, input_channels=6)
+    rng = np.random.default_rng(0)
+    pc = rng.uniform(0, 1.5, (1, 8192, 9)).astype(np.float32)
+    variables = jax.jit(lambda: model.init(jax.random.key(0), pc, train=False))()
+    ev = WholeSceneEvaluator(model.apply, variables, batch_size=16)
+
+    # warm up compile on the first scene
+    sid, (f, l, w) = next(iter(ds.iter_scenes()))
+    ev.eval_scene(sid, f, l, w)
+
+    t0 = time.perf_counter()
+    report = ev.evaluate(ds, verbose=False)
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "wholescene_eval_scenes_per_sec",
+                "value": round(n_scenes / dt, 3),
+                "unit": "scenes/sec",
+                "detail": f"{n_scenes} synthetic 100k-pt scenes, point_acc {report.point_acc:.3f}",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,7 @@ def build_config(args) -> "RunConfig":
             is_msg=args.use_msg,
             use_xyz=not args.no_xyz,
             bn=not args.no_bn,
+            compute_dtype="bfloat16" if args.bf16 else "float32",
         ),
         train=TrainConfig(
             batch_size=args.batch_size,
@@ -132,12 +133,15 @@ def train(args) -> None:
         val_ds = ChunkedSceneDataset(val_store, cfg.data, phase="val", seed=args.seed + 1)
         solver_cls = Solver
 
+    import jax.numpy as jnp
+
     model = models.get_model(
         num_classes=cfg.model.num_classes,
         is_msg=cfg.model.is_msg,
         input_channels=cfg.data.input_channels,
         use_xyz=cfg.model.use_xyz,
         bn=cfg.model.bn,
+        dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None,
     )
     solver = solver_cls(model, train_ds, val_ds, cfg, output_dir)
 
@@ -178,6 +182,10 @@ def parse_args(argv=None):
     p.add_argument("--debug", action="store_true", help="train on a single scene")
     p.add_argument("--no_weighting", action="store_true")
     p.add_argument("--no_bn", action="store_true")
+    p.add_argument(
+        "--bf16", action="store_true",
+        help="bfloat16 compute dtype for the pointwise MLPs (params stay f32)",
+    )
     p.add_argument("--no_xyz", action="store_true")
     p.add_argument("--use_msg", action="store_true")
     p.add_argument("--use_wholescene", action="store_true")

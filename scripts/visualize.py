@@ -46,12 +46,15 @@ def visualize(args) -> None:
         )
 
     dataset = WholeSceneDataset(store, cfg.data, seed=0)
+    import jax.numpy as jnp
+
     model = models.get_model(
         num_classes=cfg.model.num_classes,
         is_msg=cfg.model.is_msg,
         input_channels=cfg.data.input_channels,
         use_xyz=cfg.model.use_xyz,
         bn=cfg.model.bn,
+        dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None,
     )
     variables = restore_params_only(run_dir, args.checkpoint)
     evaluator = WholeSceneEvaluator(model.apply, variables, batch_size=args.batch_size)

@@ -94,3 +94,19 @@ class TestPointNet2SemSeg:
         assert ssg.skip_channels == (6, 64, 128, 256, 512)
         msg = models.msg_spec(20, 6)
         assert msg.sa_out_channels == (96, 256, 512, 1024)
+
+
+def test_bf16_compute_path():
+    import jax.numpy as jnp
+
+    model = models.get_model(num_classes=20, is_msg=False, input_channels=0,
+                             dtype=jnp.bfloat16)
+    pc = make_batch(1, 0)
+    variables = jax.jit(lambda: model.init(jax.random.key(0), pc, train=False))()
+    logits = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, pc)
+    assert logits.dtype == jnp.float32  # logits cast back for the loss
+    assert np.isfinite(np.asarray(logits)).all()
+    # params stay float32 master copies
+    assert all(
+        p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(variables["params"])
+    )

@@ -195,3 +195,42 @@ class TestJitAndVmap:
         out = pipeline(xyz, feats)
         assert out.shape == (2, 64, 7)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestUniformResample:
+    def test_prefix_preserved_padding_resampled(self):
+        from pointnet2_scannet_tpu.ops.neighborhood import (
+            unique_neighbor_count,
+            uniform_resample_neighbors,
+        )
+
+        idx = jnp.asarray([[[2, 5, 9, 2, 2], [0, 0, 0, 0, 0], [1, 3, 3, 3, 3]]])
+        cnt = np.asarray(unique_neighbor_count(idx))
+        np.testing.assert_array_equal(cnt, [[3, 1, 2]])
+        out, cnt2 = uniform_resample_neighbors(jax.random.key(0), idx)
+        out = np.asarray(out)
+        np.testing.assert_array_equal(cnt2, cnt)
+        # unique prefix untouched
+        np.testing.assert_array_equal(out[0, 0, :3], [2, 5, 9])
+        np.testing.assert_array_equal(out[0, 2, :2], [1, 3])
+        # padding drawn from the unique set
+        assert set(out[0, 0, 3:]) <= {2, 5, 9}
+        assert set(out[0, 2, 2:]) <= {1, 3}
+        np.testing.assert_array_equal(out[0, 1], 0)
+
+
+class TestRandomDropout:
+    def test_eval_identity_train_masks(self):
+        from pointnet2_scannet_tpu.models.layers import RandomDropout
+
+        x = jnp.ones((4, 64))
+        mod = RandomDropout(p=0.9)
+        v = mod.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x)
+        out_eval = mod.apply(v, x, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(x))
+        out_train = mod.apply(
+            v, x, deterministic=False, rngs={"dropout": jax.random.key(2)}
+        )
+        arr = np.asarray(out_train)
+        # no rescaling: surviving values stay exactly 1.0
+        assert set(np.unique(arr)) <= {0.0, 1.0}
