@@ -95,12 +95,20 @@ class FeaturePropagation(nn.Module):
     ) -> jnp.ndarray:
         """(B, n, 3), (B, m, 3), (B, n, C1), (B, m, C2) -> (B, n, mlp[-1])."""
         if known is not None:
+            from pointnet2_scannet_tpu.ops.interpolate import three_interpolate_dense
+            from pointnet2_scannet_tpu.ops.tuning import ops_config
+
             dist2, idx = ops.three_nn(unknown, known)
             dist = jnp.sqrt(dist2)  # wrapper sqrt, pointnet2_utils.py:142
             dist_recip = 1.0 / (dist + 1e-8)  # pointnet2_modules.py:395
             norm = jnp.sum(dist_recip, axis=2, keepdims=True)
             weight = dist_recip / norm
-            interpolated = ops.three_interpolate(known_feats, idx, weight)
+            interp = (
+                three_interpolate_dense
+                if ops_config.interpolate_dense
+                else ops.three_interpolate
+            )
+            interpolated = interp(known_feats, idx, weight)
         else:
             # broadcast a global feature onto every point
             # (pointnet2_modules.py:404-406)

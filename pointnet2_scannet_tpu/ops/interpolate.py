@@ -60,3 +60,25 @@ def three_interpolate(
     """
     gathered = jnp.take_along_axis(points[:, None, :, :], idx[..., None], axis=2)
     return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+def three_interpolate_dense(
+    points: jnp.ndarray,
+    idx: jnp.ndarray,
+    weight: jnp.ndarray,
+) -> jnp.ndarray:
+    """three_interpolate as one dense MXU matmul.
+
+    Builds the sparse interpolation operator W (B, n, m) densely from
+    one-hot compares (3 nonzeros per row) and contracts it with the source
+    features. On TPU this turns BOTH the forward gather and the backward
+    scatter-add into matmuls (grad_points = W^T @ g, grad_weight = gathers),
+    trading HBM traffic (the (B, n, m) operator) for scatter-free autodiff.
+    Prefer for large n*m when the scatter path dominates the backward.
+    """
+    B, n, _ = idx.shape
+    m = points.shape[1]
+    cols = lax.broadcasted_iota(jnp.int32, (B, n, 1, m), 3)
+    onehot = (cols == idx[..., :, None]).astype(points.dtype)  # (B,n,3,m)
+    W = jnp.einsum("bnk,bnkm->bnm", weight.astype(points.dtype), onehot)
+    return jnp.einsum("bnm,bmc->bnc", W, points)

@@ -15,6 +15,7 @@ Contract matched against the reference:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -97,12 +98,15 @@ def query_and_group(
       (B, M, nsample, 3 + C) if use_xyz and features is not None;
       (B, M, nsample, 3) or (B, M, nsample, C) otherwise.
     """
+    from pointnet2_scannet_tpu.ops.tuning import ops_config
+
+    group = group_points_segsum if ops_config.group_segsum else group_points
     idx = ball_query(radius, nsample, xyz, new_xyz, dist_mode=dist_mode)
-    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+    grouped_xyz = group(xyz, idx) - new_xyz[:, :, None, :]
     if normalize_xyz:
         grouped_xyz = grouped_xyz / radius
     if features is not None:
-        grouped_features = group_points(features, idx)
+        grouped_features = group(features, idx)
         if use_xyz:
             return jnp.concatenate([grouped_xyz, grouped_features], axis=-1)
         return grouped_features
@@ -165,3 +169,38 @@ def uniform_resample_neighbors(
     resampled_vals = jnp.take_along_axis(idx, pick, axis=-1)
     out = jnp.where(slots < cnt[..., None], idx, resampled_vals)
     return out.astype(jnp.int32), cnt.astype(jnp.int32)
+
+
+@jax.custom_vjp
+def group_points_segsum(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """group_points with a sort + segment-sum backward.
+
+    Forward is identical to group_points; the VJP replaces XLA's scatter-add
+    (slow on TPU for large non-unique index sets) with: sort the flattened
+    indices, sort the cotangent rows the same way, and segment-sum runs of
+    equal indices (indices_are_sorted=True fast path).
+    """
+    return group_points(points, idx)
+
+
+def _gps_fwd(points, idx):
+    return group_points(points, idx), (points.shape, idx)
+
+
+def _gps_bwd(res, g):
+    (B, N, C), idx = res
+    M, K = idx.shape[1], idx.shape[2]
+    flat_idx = idx.reshape(B, M * K)
+    flat_g = g.reshape(B, M * K, C)
+    order = jnp.argsort(flat_idx, axis=1)
+    sorted_idx = jnp.take_along_axis(flat_idx, order, axis=1)
+    sorted_g = jnp.take_along_axis(flat_g, order[..., None], axis=1)
+    grad_points = jax.vmap(
+        lambda si, sg: jax.ops.segment_sum(
+            sg, si, num_segments=N, indices_are_sorted=True
+        )
+    )(sorted_idx, sorted_g)
+    return grad_points.astype(g.dtype), None
+
+
+group_points_segsum.defvjp(_gps_fwd, _gps_bwd)

@@ -50,7 +50,11 @@ def furthest_point_sample(
       (B, npoint) int32 indices into N. Not differentiable (index output).
     """
     if use_pallas is None:
-        use_pallas = _on_tpu()
+        from pointnet2_scannet_tpu.ops.tuning import ops_config
+
+        use_pallas = (
+            ops_config.fps_pallas if ops_config.fps_pallas is not None else _on_tpu()
+        )
     if use_pallas:
         try:
             from pointnet2_scannet_tpu.ops.pallas import fps_kernel

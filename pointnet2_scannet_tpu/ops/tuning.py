@@ -1,0 +1,28 @@
+"""Global op-implementation switches (read at trace time).
+
+Each hot primitive has more than one lowering with identical semantics but
+very different TPU cost profiles; these flags pick the variant the models
+trace. Flip BEFORE building/jitting a model (changing them afterwards has no
+effect on an already-compiled program).
+
+    from pointnet2_scannet_tpu.ops import tuning
+    tuning.ops_config.interpolate_dense = True
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class OpsConfig:
+    # three_interpolate as a dense MXU matmul (scatter-free backward) instead
+    # of gather + XLA scatter-add transpose
+    interpolate_dense: bool = False
+    # group_points with a sort+segment-sum backward instead of scatter-add
+    group_segsum: bool = False
+    # Pallas FPS kernel: True/False forces, None = auto (TPU backends only)
+    fps_pallas: bool | None = None
+
+
+ops_config = OpsConfig()

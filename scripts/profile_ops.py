@@ -98,3 +98,18 @@ if __name__ == "__main__":
 
     grad = jax.jit(lambda p: jax.grad(loss_fn)(p))
     timeit("SSG fwd+bwd B=32 N=8192", lambda: grad(variables["params"]), iters=3)
+
+    # ---- A/B the op-lowering variants on the full train-direction graph ----
+    from pointnet2_scannet_tpu.ops.tuning import ops_config
+
+    for dense, segsum in ((True, False), (False, True), (True, True)):
+        ops_config.interpolate_dense = dense
+        ops_config.group_segsum = segsum
+        g2 = jax.jit(lambda p: jax.grad(loss_fn)(p))
+        timeit(
+            f"SSG fwd+bwd dense_interp={int(dense)} segsum_group={int(segsum)}",
+            lambda g2=g2: g2(variables["params"]),
+            iters=3,
+        )
+    ops_config.interpolate_dense = False
+    ops_config.group_segsum = False

@@ -234,3 +234,40 @@ class TestRandomDropout:
         arr = np.asarray(out_train)
         # no rescaling: surviving values stay exactly 1.0
         assert set(np.unique(arr)) <= {0.0, 1.0}
+
+
+class TestOpVariants:
+    """The alternative lowerings must be semantically identical."""
+
+    def test_three_interpolate_dense_matches(self):
+        from pointnet2_scannet_tpu.ops.interpolate import three_interpolate_dense
+
+        points = RNG.normal(size=(2, 12, 6)).astype(np.float32)
+        idx = RNG.integers(0, 12, size=(2, 40, 3)).astype(np.int32)
+        w = RNG.uniform(size=(2, 40, 3)).astype(np.float32)
+        a = np.asarray(ops.three_interpolate(jnp.asarray(points), jnp.asarray(idx), jnp.asarray(w)))
+        b = np.asarray(three_interpolate_dense(jnp.asarray(points), jnp.asarray(idx), jnp.asarray(w)))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def test_three_interpolate_dense_grads_match(self):
+        from pointnet2_scannet_tpu.ops.interpolate import three_interpolate_dense
+
+        points = jnp.asarray(RNG.normal(size=(1, 8, 4)).astype(np.float32))
+        idx = jnp.asarray(RNG.integers(0, 8, size=(1, 10, 3)).astype(np.int32))
+        w = jnp.asarray(RNG.uniform(size=(1, 10, 3)).astype(np.float32))
+        g1 = jax.grad(lambda p: jnp.sum(ops.three_interpolate(p, idx, w) ** 2))(points)
+        g2 = jax.grad(lambda p: jnp.sum(three_interpolate_dense(p, idx, w) ** 2))(points)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+    def test_group_points_segsum_matches(self):
+        from pointnet2_scannet_tpu.ops.neighborhood import group_points_segsum
+
+        points = jnp.asarray(RNG.normal(size=(2, 30, 5)).astype(np.float32))
+        idx = jnp.asarray(RNG.integers(0, 30, size=(2, 9, 4)).astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(ops.group_points(points, idx)),
+            np.asarray(group_points_segsum(points, idx)),
+        )
+        g1 = jax.grad(lambda p: jnp.sum(ops.group_points(p, idx) ** 2))(points)
+        g2 = jax.grad(lambda p: jnp.sum(group_points_segsum(p, idx) ** 2))(points)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5)
