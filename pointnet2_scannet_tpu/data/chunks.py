@@ -74,8 +74,13 @@ class ChunkedSceneDataset:
         self.cfg = cfg
         self.phase = phase
         self.rng = np.random.default_rng(seed)
+        # separate stream for chunk generation so the async regen thread
+        # never races the main thread's augmentation draws
+        self.chunk_rng = np.random.default_rng(seed + 0x5EED)
         # scene_id -> (chunk (n, 11), multiview (n, 128) | None)
         self.chunks: dict[str, tuple[np.ndarray, np.ndarray | None]] = {}
+        self._next: dict[str, tuple[np.ndarray, np.ndarray | None]] | None = None
+        self._regen_thread = None
 
     def __len__(self) -> int:
         return len(self.store)
@@ -85,8 +90,37 @@ class ChunkedSceneDataset:
         return self.cfg.input_channels
 
     def generate_chunks(self) -> None:
-        """Resample one fixed-size chunk per scene (lib/dataset.py:204-252)."""
+        """Resample one fixed-size chunk per scene (lib/dataset.py:204-252).
+
+        If an async regeneration (start_regen_async) is pending, swaps in its
+        result instead of recomputing — the per-epoch host chunking then fully
+        overlaps the previous epoch's device compute.
+        """
+        if self._regen_thread is not None:
+            self._regen_thread.join()
+            self._regen_thread = None
+            if self._next is not None:
+                self.chunks = self._next
+                self._next = None
+                return
+        self.chunks = self._generate()
+
+    def start_regen_async(self) -> None:
+        """Kick off next epoch's chunk resampling on a background thread."""
+        import threading
+
+        if self._regen_thread is not None:
+            return
+
+        def work():
+            self._next = self._generate()
+
+        self._regen_thread = threading.Thread(target=work, daemon=True)
+        self._regen_thread.start()
+
+    def _generate(self) -> dict:
         cfg = self.cfg
+        out: dict[str, tuple[np.ndarray, np.ndarray | None]] = {}
         half_xy = cfg.chunk_size_xy / 2.0
         for sid in self.store.scene_ids:
             scene = self.store.scenes[sid]
@@ -100,7 +134,7 @@ class ChunkedSceneDataset:
             xyz32 = np.ascontiguousarray(scene[:, :3], np.float32)
             cur = None
             for _ in range(cfg.chunk_retries):
-                center = scene[self.rng.integers(len(scene)), :3]
+                center = scene[self.chunk_rng.integers(len(scene)), :3]
                 curmin = (center - [half_xy, half_xy, 1.5]).astype(np.float32)
                 curmax = (center + [half_xy, half_xy, 1.5]).astype(np.float32)
                 curmin[2], curmax[2] = coordmin[2], coordmax[2]
@@ -122,11 +156,12 @@ class ChunkedSceneDataset:
                     break
 
             chunk, chunk_mv = cur
-            choice = self.rng.integers(0, len(chunk), size=cfg.npoints)
-            self.chunks[sid] = (
+            choice = self.chunk_rng.integers(0, len(chunk), size=cfg.npoints)
+            out[sid] = (
                 chunk[choice],
                 chunk_mv[choice] if chunk_mv is not None else None,
             )
+        return out
 
     def get_item(self, index: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """One sample: (features (npoints, 3+C), labels (npoints,),

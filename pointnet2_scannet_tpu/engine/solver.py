@@ -163,6 +163,12 @@ class Solver:
         t_start = time.time()
         for epoch in range(start_epoch, epochs):
             self._regenerate()
+            # overlap next epoch's host-side chunk resampling with this
+            # epoch's device compute
+            if epoch + 1 < epochs:
+                for ds in (self.train_dataset, self.val_dataset):
+                    if ds is not None and hasattr(ds, "start_regen_async"):
+                        ds.start_regen_async()
 
             train_stats = self._run_train_epoch(epoch, epochs, verbose, t_start)
             self.logger.add_scalars("train", train_stats, epoch)

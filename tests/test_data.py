@@ -126,3 +126,26 @@ class TestWholeScene:
         for s in range(S):
             span = feats[s, :, :3].max(0) - feats[s, :, :3].min(0)
             assert span[0] <= 1.5 + 0.03 and span[1] <= 1.5 + 0.03
+
+
+class TestAsyncRegen:
+    def test_async_regen_swaps_next_epoch(self, store):
+        ds = ChunkedSceneDataset(store, CFG, phase="val", seed=5)
+        ds.generate_chunks()
+        first = {k: v[0].copy() for k, v in ds.chunks.items()}
+        ds.start_regen_async()
+        ds.generate_chunks()  # must consume the async result
+        assert ds._regen_thread is None and ds._next is None
+        changed = any(
+            not np.array_equal(first[k], ds.chunks[k][0]) for k in first
+        )
+        assert changed
+
+    def test_sync_and_async_streams_match(self, store):
+        # same seed: async path must produce the same chunk stream as sync
+        a = ChunkedSceneDataset(store, CFG, phase="val", seed=9)
+        b = ChunkedSceneDataset(store, CFG, phase="val", seed=9)
+        a.generate_chunks(); a.generate_chunks()
+        b.generate_chunks(); b.start_regen_async(); b.generate_chunks()
+        for k in a.chunks:
+            np.testing.assert_array_equal(a.chunks[k][0], b.chunks[k][0])
