@@ -285,3 +285,33 @@ ENET_RGB_STD = (0.277856, 0.28623, 0.291129)
 def normalize_frame(rgb01: np.ndarray) -> np.ndarray:
     """(H, W, 3) floats in [0,1] -> normalized for ENet."""
     return (rgb01 - np.asarray(ENET_RGB_MEAN)) / np.asarray(ENET_RGB_STD)
+
+
+def split_enet_for_3d(variables: dict) -> tuple[dict, dict, dict]:
+    """Partition ENet variables into (fixed, trainable, classifier) trees —
+    the counterpart of create_enet_for_3d (lib/enet.py:697-715), which
+    freezes everything up to the last 8 bottlenecks (section 3) and keeps
+    those plus the 1x1 classifier trainable.
+
+    Use with optax.multi_transform / jax.lax.stop_gradient to freeze the
+    fixed tree when fine-tuning the 2D encoder jointly with the 3D model.
+    """
+    trainable_names = {
+        f"bottleneck_{i}"
+        for i in range(NUM_FIXED_BOTTLENECKS, NUM_FIXED_BOTTLENECKS + NUM_TRAINABLE_BOTTLENECKS)
+    }
+
+    def split_tree(tree):
+        enc = tree.get("encoder", {})
+        fixed = {k: v for k, v in enc.items() if k not in trainable_names}
+        trainable = {k: v for k, v in enc.items() if k in trainable_names}
+        classifier = tree.get("classifier", {})
+        return fixed, trainable, classifier
+
+    fixed_p, train_p, cls_p = split_tree(variables.get("params", {}))
+    fixed_s, train_s, cls_s = split_tree(variables.get("batch_stats", {}))
+    return (
+        {"params": fixed_p, "batch_stats": fixed_s},
+        {"params": train_p, "batch_stats": train_s},
+        {"params": cls_p, "batch_stats": cls_s},
+    )

@@ -163,3 +163,31 @@ class TestENet:
         )
         got = np.transpose(np.asarray(got), (0, 3, 1, 2))
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestENetSplit:
+    def test_split_counts(self):
+        from pointnet2_scannet_tpu.models.enet import (
+            ENetSemSeg,
+            NUM_FIXED_BOTTLENECKS,
+            NUM_TRAINABLE_BOTTLENECKS,
+            split_enet_for_3d,
+        )
+
+        model = ENetSemSeg(num_classes=41)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = jax.jit(lambda: model.init(jax.random.key(0), x, train=False))()
+        fixed, trainable, classifier = split_enet_for_3d(variables)
+        # 14 fixed bottlenecks + initial block; 8 trainable; 1-conv classifier
+        assert len(fixed["params"]) == NUM_FIXED_BOTTLENECKS + 1
+        assert len(trainable["params"]) == NUM_TRAINABLE_BOTTLENECKS
+        assert "conv" in classifier["params"]
+        # partition is exact: no parameter lost or duplicated
+        import jax as _jax
+
+        total = len(_jax.tree_util.tree_leaves(variables["params"]))
+        split_total = sum(
+            len(_jax.tree_util.tree_leaves(t["params"]))
+            for t in (fixed, trainable, classifier)
+        )
+        assert total == split_total
