@@ -134,15 +134,19 @@ def confusion_matrix(
     summed by the partitioner (it's a plain array output). `row_mask` (B,)
     excludes padded batch rows from the counts.
     """
-    flat = labels.reshape(-1) * num_classes + preds.reshape(-1)
-    if row_mask is None:
-        inc = jnp.ones_like(flat)
-    else:
-        inc = jnp.broadcast_to(
-            row_mask[:, None].astype(jnp.int32), labels.shape
-        ).reshape(-1)
-    counts = jnp.zeros(num_classes * num_classes, jnp.int32).at[flat].add(inc)
-    return counts.reshape(num_classes, num_classes)
+    # scatter-free binning: XLA's TPU scatter serializes on non-unique
+    # indices (hundreds of thousands of sequential updates). As one-hot
+    # matmuls the count lands on the MXU: cm[i,j] = sum_p 1[l_p=i] 1[p_p=j].
+    flat_l = labels.reshape(-1)
+    flat_p = preds.reshape(-1)
+    classes = jnp.arange(num_classes, dtype=flat_l.dtype)
+    oh_l = (flat_l[:, None] == classes[None, :]).astype(jnp.float32)
+    oh_p = (flat_p[:, None] == classes[None, :]).astype(jnp.float32)
+    if row_mask is not None:
+        inc = jnp.broadcast_to(row_mask[:, None], labels.shape).reshape(-1)
+        oh_l = oh_l * inc[:, None]
+    cm = jnp.einsum("pi,pj->ij", oh_l, oh_p, preferred_element_type=jnp.float32)
+    return jnp.round(cm).astype(jnp.int32)
 
 
 def confusion_to_point_metrics(cm: np.ndarray) -> dict[str, float]:

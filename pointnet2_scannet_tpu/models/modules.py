@@ -103,11 +103,12 @@ class FeaturePropagation(nn.Module):
             dist_recip = 1.0 / (dist + 1e-8)  # pointnet2_modules.py:395
             norm = jnp.sum(dist_recip, axis=2, keepdims=True)
             weight = dist_recip / norm
-            interp = (
-                three_interpolate_dense
-                if ops_config.interpolate_dense
-                else ops.three_interpolate
-            )
+            use_dense = ops_config.interpolate_dense
+            if use_dense is None:
+                import jax
+
+                use_dense = jax.default_backend() in ("tpu", "axon")
+            interp = three_interpolate_dense if use_dense else ops.three_interpolate
             interpolated = interp(known_feats, idx, weight)
         else:
             # broadcast a global feature onto every point

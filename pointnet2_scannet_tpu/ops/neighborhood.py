@@ -22,6 +22,10 @@ from jax import lax
 from pointnet2_scannet_tpu.ops.common import pairwise_sqdist
 
 
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def ball_query(
     radius: float,
     nsample: int,
@@ -29,6 +33,7 @@ def ball_query(
     new_xyz: jnp.ndarray,
     *,
     dist_mode: str = "exact",
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Fixed-radius neighborhood query with reference-exact padding semantics.
 
@@ -37,6 +42,9 @@ def ball_query(
       nsample: max neighbors per query (static).
       xyz: (B, N, 3) all points.
       new_xyz: (B, M, 3) query centroids.
+      use_pallas: force/forbid the fused Pallas TPU kernel (3.2x the XLA
+        top_k path at the SSG levels); None = auto on TPU backends when the
+        shapes are lane-aligned.
 
     Returns:
       (B, M, nsample) int32 indices into N: the first `nsample` in-radius
@@ -44,6 +52,15 @@ def ball_query(
       all-zero when the ball is empty.
     """
     N = xyz.shape[1]
+    M = new_xyz.shape[1]
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if use_pallas and N % 128 == 0 and (M <= 128 or M % 128 == 0):
+        from pointnet2_scannet_tpu.ops.pallas.ball_query_kernel import (
+            ball_query_pallas,
+        )
+
+        return ball_query_pallas(float(radius), int(nsample), xyz, new_xyz)
     d2 = pairwise_sqdist(new_xyz, xyz, mode=dist_mode)  # (B, M, N)
     valid = d2 < jnp.float32(radius) * jnp.float32(radius)
     iota = lax.broadcasted_iota(jnp.int32, d2.shape, 2)

@@ -1,0 +1,101 @@
+"""Pallas TPU kernel for ball query.
+
+The XLA lowering computes a (B, M, N) distance tensor in HBM and runs
+lax.top_k over N per query (~200ms for the four SSG levels at B=32) — top_k
+is the train step's dominant cost. This kernel fuses the whole op per query
+tile in VMEM: compute the distance tile, mask to candidate indices, and
+select the first `nsample` in-radius indices in ascending index order with an
+iterative masked min (nsample tiny: 16-32), never touching HBM with the
+(M, N) intermediates.
+
+Semantics identical to ops.neighborhood.ball_query (= the reference CUDA
+kernel, ball_query_gpu.cu:9-44): first nsample hits in index order, rows
+padded with the first hit, all-zero rows for empty balls.
+
+Grid: (B, M/TM). Per program: queries tile (TM, 3), all points (3, N) in
+VMEM; distance tile (TM, N) f32 scratch. N must be lane-aligned (N % 128 == 0)
+and M % TM == 0 — callers fall back to the XLA path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ball_query_kernel(xyz_ref, q_ref, out_ref, *, radius: float, nsample: int):
+    """xyz_ref: (1, 3, N); q_ref: (1, TM, 3); out_ref: (1, TM, KPAD) int32."""
+    x = xyz_ref[0, 0, :][None, :]  # (1, N)
+    y = xyz_ref[0, 1, :][None, :]
+    z = xyz_ref[0, 2, :][None, :]
+    qx = q_ref[0, :, 0][:, None]  # (TM, 1)
+    qy = q_ref[0, :, 1][:, None]
+    qz = q_ref[0, :, 2][:, None]
+
+    d2 = (qx - x) ** 2 + (qy - y) ** 2 + (qz - z) ** 2  # (TM, N)
+    n = d2.shape[-1]
+    iota = lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    # candidate index or sentinel N when out of radius
+    masked = jnp.where(d2 < jnp.float32(radius) * jnp.float32(radius), iota, n)
+
+    tm = d2.shape[0]
+    slot = lax.broadcasted_iota(jnp.int32, (tm, out_ref.shape[-1]), 1)
+    out_ref[0, ...] = jnp.zeros_like(out_ref[0])
+
+    def body(k, carry):
+        prev, first = carry  # (TM, 1) last selected idx; (TM, 1) first hit
+        cand = jnp.where(masked > prev, masked, n)
+        nxt = jnp.min(cand, axis=1, keepdims=True)  # (TM, 1)
+        first = jnp.where(k == 0, nxt, first)
+        # pad semantics: no more hits -> repeat first hit (or 0 if none)
+        fill = jnp.where(first < n, first, 0)
+        val = jnp.where(nxt < n, nxt, fill)
+        out_ref[0, ...] = jnp.where(slot == k, val, out_ref[0, ...])
+        return jnp.where(nxt < n, nxt, prev), first
+
+    init = (jnp.full((tm, 1), -1, jnp.int32), jnp.full((tm, 1), n, jnp.int32))
+    lax.fori_loop(0, nsample, body, init)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "nsample", "tile_m", "interpret")
+)
+def ball_query_pallas(
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    *,
+    tile_m: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, N, 3) x (B, M, 3) -> (B, M, nsample) int32."""
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    if tile_m is None:
+        tile_m = min(M, 128)
+    assert N % 128 == 0 and M % tile_m == 0, (N, M, tile_m)
+    kpad = max(((nsample + 127) // 128) * 128, 128)
+    xyz_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))  # (B, 3, N)
+    kernel = functools.partial(_ball_query_kernel, radius=radius, nsample=nsample)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, M // tile_m),
+        in_specs=[
+            pl.BlockSpec((1, 3, N), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_m, 3), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_m, kpad), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, M, kpad), jnp.int32),
+        interpret=interpret,
+    )(xyz_t, new_xyz.astype(jnp.float32))
+    return out[:, :, :nsample]

@@ -55,6 +55,10 @@ def furthest_point_sample(
         use_pallas = (
             ops_config.fps_pallas if ops_config.fps_pallas is not None else _on_tpu()
         )
+    # the Pallas kernel wants points filling whole 128-wide lanes; tiny or
+    # ragged N (e.g. the 64->16 SA level) runs the XLA path instead
+    if xyz.shape[1] % 128 != 0:
+        use_pallas = False
     if use_pallas:
         try:
             from pointnet2_scannet_tpu.ops.pallas import fps_kernel

@@ -17,8 +17,9 @@ import dataclasses
 @dataclasses.dataclass
 class OpsConfig:
     # three_interpolate as a dense MXU matmul (scatter-free backward) instead
-    # of gather + XLA scatter-add transpose
-    interpolate_dense: bool = False
+    # of gather + XLA scatter-add transpose; None = auto (on for TPU backends,
+    # measured ~7% faster on the full SSG train step)
+    interpolate_dense: bool | None = None
     # group_points with a sort+segment-sum backward instead of scatter-add
     group_segsum: bool = False
     # Pallas FPS kernel: True/False forces, None = auto (TPU backends only)

@@ -39,3 +39,43 @@ class TestFpsPallas:
             furthest_point_sample_pallas(jnp.asarray(xyz), 16, interpret=True)
         )
         np.testing.assert_array_equal(got, oracles.fps_oracle(xyz, 16))
+
+
+class TestBallQueryPallas:
+    def test_matches_oracle_interpret(self):
+        from pointnet2_scannet_tpu.ops.pallas.ball_query_kernel import (
+            ball_query_pallas,
+        )
+
+        xyz = RNG.uniform(0, 1.5, size=(2, 256, 3)).astype(np.float32)
+        q = xyz[:, :64].copy()
+        got = np.asarray(
+            ball_query_pallas(0.3, 16, jnp.asarray(xyz), jnp.asarray(q), interpret=True)
+        )
+        want = oracles.ball_query_oracle(0.3, 16, xyz, q)
+        np.testing.assert_array_equal(got, want)
+
+    def test_empty_ball_zeros(self):
+        from pointnet2_scannet_tpu.ops.pallas.ball_query_kernel import (
+            ball_query_pallas,
+        )
+
+        far = np.full((1, 128, 3), 50.0, np.float32)
+        q = np.zeros((1, 16, 3), np.float32)
+        got = np.asarray(
+            ball_query_pallas(0.5, 8, jnp.asarray(far), jnp.asarray(q), interpret=True)
+        )
+        assert (got == 0).all()
+
+    def test_row_padded_with_first_hit(self):
+        from pointnet2_scannet_tpu.ops.pallas.ball_query_kernel import (
+            ball_query_pallas,
+        )
+
+        xyz = np.full((1, 128, 3), 100.0, np.float32)
+        xyz[0, 5] = [0.0, 0.0, 0.0]
+        q = np.zeros((1, 8, 3), np.float32)
+        got = np.asarray(
+            ball_query_pallas(0.5, 6, jnp.asarray(xyz), jnp.asarray(q), interpret=True)
+        )
+        assert (got == 5).all()
