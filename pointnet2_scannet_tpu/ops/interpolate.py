@@ -23,18 +23,30 @@ def three_nn(
     known: jnp.ndarray,
     *,
     dist_mode: str = "exact",
+    use_pallas: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Three nearest neighbors of each `unknown` point among `known` points.
 
     Args:
       unknown: (B, n, 3).
       known: (B, m, 3), m >= 3.
+      use_pallas: force/forbid the fused Pallas TPU kernel; None = auto on
+        TPU backends when m fills whole 128-wide lanes.
 
     Returns:
       (dist2, idx): (B, n, 3) squared distances (ascending) and int32 indices.
-      lax.top_k's stable tie-break (ascending index on equal keys) matches the
-      CUDA kernel's strict-< insertion order.
+      Both lowerings tie-break to the lowest index, matching the CUDA
+      kernel's strict-< insertion order.
     """
+    import jax
+
+    n, m = unknown.shape[1], known.shape[1]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if use_pallas and m % 128 == 0 and n % min(n, 256) == 0:
+        from pointnet2_scannet_tpu.ops.pallas.three_nn_kernel import three_nn_pallas
+
+        return three_nn_pallas(unknown, known)
     d2 = pairwise_sqdist(unknown, known, mode=dist_mode)  # (B, n, m)
     neg, idx = lax.top_k(-d2, 3)
     return -neg, idx.astype(jnp.int32)

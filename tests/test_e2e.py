@@ -37,11 +37,14 @@ def test_loss_decreases_on_synthetic_scene(tmp_path):
     )
     best = solver(epochs=epochs, verbose=100)
 
-    # loss must trend down over 12 epochs on 4 easy synthetic scenes
+    # learning signal over 12 epochs on 4 easy synthetic scenes: loss trends
+    # down (chunks resample every epoch, so it's noisy) AND val mIoU rises
     train_losses = [v for _, v in solver.logger.scalars["train/loss"]]
     first = np.mean(train_losses[:3])
     last = np.mean(train_losses[-3:])
-    assert last < first * 0.8, train_losses
+    assert last < first * 0.9, train_losses
+    mious = [v for _, v in solver.logger.scalars["val/point_miou"]]
+    assert np.mean(mious[-3:]) > np.mean(mious[:3]) + 0.02, mious
     # artifacts written
     assert (tmp_path / "config.json").exists()
     assert (tmp_path / "model_last.msgpack").exists()
