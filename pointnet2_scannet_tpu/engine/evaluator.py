@@ -91,7 +91,12 @@ class WholeSceneEvaluator:
         self.num_classes = num_classes
 
         def fwd(variables, points):
-            return apply_fn(variables, points, train=False)
+            # argmax on device: fetching int8-sized preds instead of the full
+            # (B, N, C) logits cuts the device->host transfer ~20x
+            import jax.numpy as jnp
+
+            logits = apply_fn(variables, points, train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         self._fwd = jax.jit(fwd)
 
@@ -106,8 +111,7 @@ class WholeSceneEvaluator:
             pad = B - chunk.shape[0]
             if pad:
                 chunk = np.concatenate([chunk, np.zeros_like(chunk[:1].repeat(pad, 0))])
-            logits = self._fwd(self.variables, chunk)
-            p = np.asarray(jax.device_get(np.argmax(logits, axis=-1)))
+            p = np.asarray(self._fwd(self.variables, chunk))
             preds.append(p[: chunk.shape[0] - pad] if pad else p)
         return np.concatenate(preds, axis=0).astype(np.int64)
 
