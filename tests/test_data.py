@@ -149,3 +149,49 @@ class TestAsyncRegen:
         b.generate_chunks(); b.start_regen_async(); b.generate_chunks()
         for k in a.chunks:
             np.testing.assert_array_equal(a.chunks[k][0], b.chunks[k][0])
+
+
+class TestMultiviewDataPath:
+    def make_mv_store(self, tmp_path, n_scenes=2, n_points=12_000):
+        from pointnet2_scannet_tpu.data.multiview import write_multiview_h5
+        from pointnet2_scannet_tpu.data.scene_store import SceneStore
+        from pointnet2_scannet_tpu.data.synthetic import make_synthetic_scene
+
+        rng = np.random.default_rng(0)
+        scenes, feats = {}, {}
+        for i in range(n_scenes):
+            sid = f"synth{i:04d}_00"
+            scenes[sid] = make_synthetic_scene(i, n_points=n_points)
+            feats[sid] = rng.normal(size=(len(scenes[sid]), 128)).astype(np.float32)
+        # roundtrip the fused features through the HDF5 layout
+        h5 = tmp_path / "enet_feats.hdf5"
+        write_multiview_h5(h5, feats)
+        npy_dir = tmp_path / "scenes"
+        npy_dir.mkdir()
+        for sid, s in scenes.items():
+            np.save(npy_dir / f"{sid}.npy", s)
+        store = SceneStore.from_npy_dir(sorted(scenes), npy_dir, h5)
+        return store, feats
+
+    def test_h5_roundtrip_and_chunked_columns(self, tmp_path):
+        store, feats = self.make_mv_store(tmp_path)
+        sid = store.scene_ids[0]
+        np.testing.assert_allclose(store.multiview[sid], feats[sid])
+
+        cfg = DataConfig(npoints=512, use_color=True, use_normal=True,
+                         use_multiview=True)
+        ds = ChunkedSceneDataset(store, cfg, phase="train", seed=0)
+        ds.generate_chunks()
+        f, l, w = ds.get_item(0)
+        assert f.shape == (512, 3 + 3 + 3 + 128)
+        # multiview columns land LAST in the canonical order
+        chunk, mv = ds.chunks[sid]
+        np.testing.assert_allclose(f[:, -128:], mv)
+
+    def test_wholescene_multiview_columns(self, tmp_path):
+        store, feats = self.make_mv_store(tmp_path, n_scenes=1)
+        cfg = DataConfig(npoints=256, use_normal=True, use_multiview=True)
+        ds = WholeSceneDataset(store, cfg, seed=0)
+        f, l, w = ds.get_scene(0)
+        assert f.shape[2] == 3 + 3 + 128
+        assert np.abs(f[..., -128:]).sum() > 0
