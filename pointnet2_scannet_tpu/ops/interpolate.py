@@ -42,7 +42,12 @@ def three_nn(
 
     n, m = unknown.shape[1], known.shape[1]
     if use_pallas is None:
-        use_pallas = jax.default_backend() in ("tpu", "axon")
+        from pointnet2_scannet_tpu.ops.tuning import ops_config
+
+        if ops_config.three_nn_pallas is not None:
+            use_pallas = ops_config.three_nn_pallas
+        else:
+            use_pallas = jax.default_backend() in ("tpu", "axon")
     if use_pallas and m % 128 == 0 and n % min(n, 256) == 0:
         from pointnet2_scannet_tpu.ops.pallas.three_nn_kernel import three_nn_pallas
 

@@ -54,7 +54,13 @@ def ball_query(
     N = xyz.shape[1]
     M = new_xyz.shape[1]
     if use_pallas is None:
-        use_pallas = _on_tpu()
+        from pointnet2_scannet_tpu.ops.tuning import ops_config
+
+        use_pallas = (
+            ops_config.ball_query_pallas
+            if ops_config.ball_query_pallas is not None
+            else _on_tpu()
+        )
     if use_pallas and N % 128 == 0 and (M <= 128 or M % 128 == 0):
         from pointnet2_scannet_tpu.ops.pallas.ball_query_kernel import (
             ball_query_pallas,

@@ -22,8 +22,11 @@ class OpsConfig:
     interpolate_dense: bool | None = None
     # group_points with a sort+segment-sum backward instead of scatter-add
     group_segsum: bool = False
-    # Pallas FPS kernel: True/False forces, None = auto (TPU backends only)
+    # Pallas kernels: True/False forces, None = auto (TPU backends with
+    # lane-aligned shapes only)
     fps_pallas: bool | None = None
+    ball_query_pallas: bool | None = None
+    three_nn_pallas: bool | None = None
 
 
 ops_config = OpsConfig()

@@ -110,3 +110,14 @@ def test_bf16_compute_path():
     assert all(
         p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(variables["params"])
     )
+
+
+def test_no_bn_and_no_xyz_variants_build():
+    for kwargs in ({"bn": False}, {"use_xyz": False}):
+        model = models.get_model(num_classes=20, is_msg=False, input_channels=3,
+                                 **kwargs)
+        pc = make_batch(1, 3)
+        variables = jax.jit(lambda m=model, p=pc: m.init(jax.random.key(0), p, train=False))()
+        logits = jax.jit(lambda v, x, m=model: m.apply(v, x, train=False))(variables, pc)
+        assert logits.shape == (1, N, 20)
+        assert np.isfinite(np.asarray(logits)).all()
