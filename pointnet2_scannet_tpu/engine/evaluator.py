@@ -132,8 +132,34 @@ class WholeSceneEvaluator:
         )
 
     def evaluate(self, dataset: WholeSceneDataset, verbose: bool = True) -> EvalReport:
+        """Evaluate every scene; the host-side scene tiling runs on a
+        background thread overlapped with the device forward + metric work of
+        the previous scene (the tiler is ~40% of per-scene wall time)."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+        sentinel = object()
+        error: list[BaseException] = []
+
+        def producer():
+            try:
+                for item in dataset.iter_scenes():
+                    q.put(item)
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        threading.Thread(target=producer, daemon=True).start()
         results = []
-        for scene_id, (feats, labels, weights) in dataset.iter_scenes():
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                break
+            scene_id, (feats, labels, weights) = item
             r = self.eval_scene(scene_id, feats, labels, weights)
             results.append(r)
             if verbose:
