@@ -81,21 +81,40 @@ def ball_query(
     return jnp.where(found, idx, fill).astype(jnp.int32)
 
 
-def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def group_points(
+    points: jnp.ndarray, idx: jnp.ndarray, *, use_mxu: bool | None = None
+) -> jnp.ndarray:
     """Gather per-point features into neighborhoods.
 
     Channels-last counterpart of group_points (group_points_gpu.cu:8-33,
     (B, C, N) × (B, M, K) → (B, C, M, K)).
+
+    On TPU the gather runs as one-hot MXU matmuls (ops/pallas/gather_kernel)
+    when shapes allow — XLA's native gather is ~1 GB/s effective for the tiny
+    3-9 float rows point-cloud grouping produces, and its scatter-add
+    transpose is worse.
 
     Args:
       points: (B, N, C).
       idx: (B, M, K) int32 indices into N.
 
     Returns:
-      (B, M, K, C). Differentiable w.r.t. points (deterministic scatter-add).
+      (B, M, K, C). Differentiable w.r.t. points (deterministic backward).
     """
     B, M, K = idx.shape
     flat = idx.reshape(B, M * K)
+    if use_mxu is None:
+        from pointnet2_scannet_tpu.ops.tuning import ops_config
+
+        use_mxu = (
+            ops_config.mxu_gather if ops_config.mxu_gather is not None else _on_tpu()
+        )
+    if use_mxu:
+        from pointnet2_scannet_tpu.ops.pallas import gather_kernel
+
+        if gather_kernel.supported(points, M * K):
+            out = gather_kernel.mxu_gather(points, flat)
+            return out.reshape(B, M, K, points.shape[-1])
     out = jnp.take_along_axis(points, flat[..., None], axis=1)
     return out.reshape(B, M, K, points.shape[-1])
 
@@ -125,14 +144,21 @@ def query_and_group(
 
     group = group_points_segsum if ops_config.group_segsum else group_points
     idx = ball_query(radius, nsample, xyz, new_xyz, dist_mode=dist_mode)
+    if features is not None and use_xyz:
+        # ONE gather of the concatenated [xyz | features] rows instead of two
+        # separate gathers (profiled: the two tiny-row gathers are the SA
+        # level's dominant cost; 9-wide rows halve the index overhead)
+        both = jnp.concatenate([xyz, features], axis=-1)
+        grouped = group(both, idx)
+        grouped_xyz = grouped[..., :3] - new_xyz[:, :, None, :]
+        if normalize_xyz:
+            grouped_xyz = grouped_xyz / radius
+        return jnp.concatenate([grouped_xyz, grouped[..., 3:]], axis=-1)
     grouped_xyz = group(xyz, idx) - new_xyz[:, :, None, :]
     if normalize_xyz:
         grouped_xyz = grouped_xyz / radius
     if features is not None:
-        grouped_features = group(features, idx)
-        if use_xyz:
-            return jnp.concatenate([grouped_xyz, grouped_features], axis=-1)
-        return grouped_features
+        return group(features, idx)
     if not use_xyz:
         raise ValueError("cannot have not features and not use xyz as a feature")
     return grouped_xyz

@@ -93,17 +93,31 @@ def furthest_point_sample(
     return idxs
 
 
-def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def gather_points(
+    points: jnp.ndarray, idx: jnp.ndarray, *, use_mxu: bool | None = None
+) -> jnp.ndarray:
     """Gather rows of a per-point array by index.
 
     Channels-last counterpart of the reference gather_points
     (sampling_gpu.cu:8-30, which is (B, C, N) × (B, M) → (B, C, M)).
+    Runs as one-hot MXU matmuls on TPU when shapes allow (see group_points).
 
     Args:
       points: (B, N, C) features (or (B, N, 3) coordinates).
       idx: (B, M) int32 indices into N.
 
     Returns:
-      (B, M, C). Differentiable w.r.t. points (scatter-add transpose).
+      (B, M, C). Differentiable w.r.t. points (deterministic backward).
     """
+    if use_mxu is None:
+        from pointnet2_scannet_tpu.ops.tuning import ops_config
+
+        use_mxu = (
+            ops_config.mxu_gather if ops_config.mxu_gather is not None else _on_tpu()
+        )
+    if use_mxu:
+        from pointnet2_scannet_tpu.ops.pallas import gather_kernel
+
+        if gather_kernel.supported(points, idx.shape[1]):
+            return gather_kernel.mxu_gather(points, idx)
     return jnp.take_along_axis(points, idx[..., None], axis=1)

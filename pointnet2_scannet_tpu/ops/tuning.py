@@ -27,6 +27,11 @@ class OpsConfig:
     fps_pallas: bool | None = None
     ball_query_pallas: bool | None = None
     three_nn_pallas: bool | None = None
+    # grouping gathers as one-hot MXU matmuls. Measured SLOWER than XLA's
+    # gather at the SSG shapes (lane padding C->128 plus the exactness-
+    # required Precision.HIGHEST make it ~2.5x the step time) — default off,
+    # kept for wide-channel use cases.
+    mxu_gather: bool | None = False
 
 
 ops_config = OpsConfig()
