@@ -1,6 +1,7 @@
 """Pallas kernel parity tests, run in interpreter mode on the CPU backend
 (real-TPU execution is exercised by scripts/profile_ops.py and the bench)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -79,3 +80,38 @@ class TestBallQueryPallas:
             ball_query_pallas(0.5, 6, jnp.asarray(xyz), jnp.asarray(q), interpret=True)
         )
         assert (got == 5).all()
+
+
+class TestMxuGather:
+    def _patched(self):
+        from jax.experimental import pallas as pl
+
+        import pointnet2_scannet_tpu.ops.pallas.gather_kernel as gk
+
+        orig = pl.pallas_call
+        gk.pl.pallas_call = lambda *a, **k: orig(*a, interpret=True, **k)
+        return gk, orig
+
+    def test_fwd_and_bwd_match_take_along_axis(self):
+        gk, orig = self._patched()
+        try:
+            src = jnp.asarray(RNG.normal(size=(2, 256, 8)).astype(np.float32))
+            idx = jnp.asarray(RNG.integers(0, 256, (2, 384)).astype(np.int32))
+            out = gk.mxu_gather(src, idx)
+            want = jnp.take_along_axis(src, idx[..., None], axis=1)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+            g1 = jax.grad(lambda s: jnp.sum(gk.mxu_gather(s, idx) ** 2))(src)
+            g2 = jax.grad(
+                lambda s: jnp.sum(jnp.take_along_axis(s, idx[..., None], axis=1) ** 2)
+            )(src)
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+        finally:
+            gk.pl.pallas_call = orig
+
+    def test_supported_gating(self):
+        import pointnet2_scannet_tpu.ops.pallas.gather_kernel as gk
+
+        src = jnp.zeros((1, 8192, 6))
+        assert gk.supported(src, 32768)
+        assert not gk.supported(jnp.zeros((1, 100, 6)), 32768)  # N not aligned
+        assert not gk.supported(src, 100)  # J not aligned
