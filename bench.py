@@ -1,6 +1,5 @@
 """Headline benchmark (measured 2026-08-16 on the single v5e chip:
-3.50M points/sec f32 SSG = 5.34x the reference baseline estimate; 3.78M bf16;
-2.42M MSG f32.)
+3.98M points/sec f32 SSG = 6.08x the reference baseline estimate.)
 
 Original docstring: training throughput (points/sec) of the flagship
 PointNet++ SSG config (batch 32 x 8192 points, xyz+color+normal — the
