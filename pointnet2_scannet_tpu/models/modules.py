@@ -124,3 +124,90 @@ class FeaturePropagation(nn.Module):
         return PointwiseMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype, name="mlp")(
             h, train
         )
+
+
+class SetAbstractionVotes(nn.Module):
+    """Votes-style single-scale SA (the reference's PointnetSAModuleVotes,
+    pointnet2_modules.py:164-273): optionally takes precomputed sample
+    indices (for vote supervision), supports max/avg/rbf pooling over the
+    neighborhood, radius-normalized grouped xyz, uniform neighbor
+    re-sampling, and returning the per-ball unique-neighbor counts. Unused by
+    the ScanNet segmentation pipeline; provided for votenet-style heads.
+    """
+
+    mlp: Sequence[int]
+    npoint: int | None = None
+    radius: float | None = None
+    nsample: int | None = None
+    bn: bool = True
+    use_xyz: bool = True
+    pooling: str = "max"  # "max" | "avg" | "rbf"
+    sigma: float | None = None  # rbf bandwidth; default radius/2 (ref :192)
+    normalize_xyz: bool = False
+    sample_uniformly: bool = False
+    ret_unique_cnt: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jnp.ndarray,
+        features: jnp.ndarray | None = None,
+        inds: jnp.ndarray | None = None,
+        train: bool = False,
+    ):
+        from pointnet2_scannet_tpu.ops.neighborhood import (
+            uniform_resample_neighbors,
+            unique_neighbor_count,
+        )
+
+        if self.npoint is not None:
+            if inds is None:
+                inds = ops.furthest_point_sample(xyz, self.npoint)
+            new_xyz = ops.gather_points(xyz, inds)
+            idx = ops.ball_query(float(self.radius), int(self.nsample), xyz, new_xyz)
+            unique_cnt = None
+            if self.sample_uniformly or self.ret_unique_cnt:
+                if self.sample_uniformly:
+                    key = self.make_rng("sample")
+                    idx, unique_cnt = uniform_resample_neighbors(key, idx)
+                else:
+                    unique_cnt = unique_neighbor_count(idx)
+            grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+            if self.normalize_xyz:
+                grouped_xyz = grouped_xyz / self.radius
+            if features is not None:
+                grouped_feats = ops.group_points(features, idx)
+                grouped = (
+                    jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+                    if self.use_xyz
+                    else grouped_feats
+                )
+            else:
+                grouped = grouped_xyz
+        else:
+            new_xyz = None
+            unique_cnt = None
+            grouped = ops.group_all(xyz, features, use_xyz=self.use_xyz)
+            grouped_xyz = xyz[:, None, :, :]
+
+        h = PointwiseMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype, name="mlp")(
+            grouped, train
+        )
+        if self.pooling == "max":
+            pooled = jnp.max(h, axis=2)
+        elif self.pooling == "avg":
+            pooled = jnp.mean(h, axis=2)
+        elif self.pooling == "rbf":
+            # RBF-weighted sum normalized by nsample (ref :265-267)
+            sigma = self.sigma if self.sigma is not None else self.radius / 2.0
+            rbf = jnp.exp(
+                -jnp.sum(grouped_xyz**2, axis=-1) / (sigma**2) / 2.0
+            )  # (B, M, K)
+            pooled = jnp.sum(h * rbf[..., None], axis=2) / float(self.nsample)
+        else:
+            raise ValueError(f"unknown pooling {self.pooling!r}")
+
+        if self.ret_unique_cnt:
+            return new_xyz, pooled, inds, unique_cnt
+        return new_xyz, pooled, inds

@@ -121,3 +121,51 @@ def test_no_bn_and_no_xyz_variants_build():
         logits = jax.jit(lambda v, x, m=model: m.apply(v, x, train=False))(variables, pc)
         assert logits.shape == (1, N, 20)
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestSetAbstractionVotes:
+    def _run(self, **kw):
+        from pointnet2_scannet_tpu.models.modules import SetAbstractionVotes
+
+        rng = np.random.default_rng(0)
+        xyz = jnp.asarray(rng.uniform(0, 1.5, (2, 256, 3)).astype(np.float32))
+        feats = jnp.asarray(rng.normal(size=(2, 256, 8)).astype(np.float32))
+        mod = SetAbstractionVotes(
+            mlp=(11, 16, 32), npoint=64, radius=0.3, nsample=16, **kw
+        )
+        variables = mod.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            xyz, feats,
+        )
+        return mod, variables, xyz, feats
+
+    @pytest.mark.parametrize("pooling", ["max", "avg", "rbf"])
+    def test_pooling_modes(self, pooling):
+        mod, v, xyz, feats = self._run(pooling=pooling)
+        new_xyz, pooled, inds = mod.apply(
+            v, xyz, feats, rngs={"sample": jax.random.key(2)}
+        )
+        assert new_xyz.shape == (2, 64, 3)
+        assert pooled.shape == (2, 64, 32)
+        assert inds.shape == (2, 64)
+        assert np.isfinite(np.asarray(pooled)).all()
+
+    def test_unique_cnt_and_uniform_sampling(self):
+        mod, v, xyz, feats = self._run(sample_uniformly=True, ret_unique_cnt=True)
+        new_xyz, pooled, inds, cnt = mod.apply(
+            v, xyz, feats, rngs={"sample": jax.random.key(2)}
+        )
+        c = np.asarray(cnt)
+        assert c.shape == (2, 64)
+        assert (c >= 1).all() and (c <= 16).all()
+
+    def test_precomputed_inds(self):
+        mod, v, xyz, feats = self._run()
+        inds = jnp.tile(jnp.arange(64, dtype=jnp.int32)[None], (2, 1))
+        new_xyz, pooled, out_inds = mod.apply(
+            v, xyz, feats, inds, rngs={"sample": jax.random.key(2)}
+        )
+        np.testing.assert_array_equal(np.asarray(out_inds), np.asarray(inds))
+        np.testing.assert_allclose(
+            np.asarray(new_xyz), np.asarray(xyz[:, :64]), atol=1e-6
+        )
