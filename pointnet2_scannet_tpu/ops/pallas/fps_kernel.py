@@ -79,8 +79,25 @@ def furthest_point_sample_pallas(
     skip_near_origin: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(B, N, 3) float32 -> (B, npoint) int32, VMEM-resident selection loop."""
+    """(B, N, 3) float32 -> (B, npoint) int32, VMEM-resident selection loop.
+
+    The kernel keeps ~4 (B, N) f32 buffers in VMEM; batches beyond what fits
+    (about 64 rows at N=8192) are processed in chunks.
+    """
     B, N, _ = xyz.shape
+    # cap VMEM: 4 live (B, N) f32 buffers within ~8 MB
+    b_max = max(8 * 1024 * 1024 // (4 * 4 * max(N, 1)), 8)
+    if B > b_max:
+        chunks = [
+            furthest_point_sample_pallas(
+                xyz[i : i + b_max],
+                npoint,
+                skip_near_origin=skip_near_origin,
+                interpret=interpret,
+            )
+            for i in range(0, B, b_max)
+        ]
+        return jnp.concatenate(chunks, axis=0)
     xyz = xyz.astype(jnp.float32)
     x = xyz[:, :, 0]
     y = xyz[:, :, 1]
