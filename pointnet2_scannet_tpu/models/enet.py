@@ -24,7 +24,6 @@ walking both parameter sequences in lockstep.
 from __future__ import annotations
 
 import dataclasses
-from collections.abc import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

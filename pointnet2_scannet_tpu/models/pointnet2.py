@@ -20,7 +20,6 @@ Input: (B, N, 3 + input_channels) channels-last; output: (B, N, num_classes).
 from __future__ import annotations
 
 import dataclasses
-from collections.abc import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
