@@ -55,16 +55,17 @@ class SetAbstraction(nn.Module):
             idx = None
             new_xyz = None
 
+        idxs = None
+        if self.npoint is not None:
+            idxs = self._scale_indices(xyz, new_xyz)
+
         scale_outs = []
         for s, widths in enumerate(self.mlps):
             if self.npoint is not None:
-                grouped = ops.query_and_group(
-                    float(self.radii[s]),
-                    int(self.nsamples[s]),
-                    xyz,
-                    new_xyz,
-                    features,
-                    use_xyz=self.use_xyz,
+                from pointnet2_scannet_tpu.ops.neighborhood import group_with_idx
+
+                grouped = group_with_idx(
+                    idxs[s], xyz, new_xyz, features, use_xyz=self.use_xyz
                 )  # (B, M, K, 3 + C)
             else:
                 grouped = ops.group_all(xyz, features, use_xyz=self.use_xyz)
@@ -75,6 +76,35 @@ class SetAbstraction(nn.Module):
             # nsample (pointnet2_modules.py:65-71)
             scale_outs.append(jnp.max(h, axis=2))
         return new_xyz, jnp.concatenate(scale_outs, axis=-1), idx
+
+    def _scale_indices(self, xyz, new_xyz):
+        """Ball-query indices per scale; MSG's two scales share one fused
+        kernel (the distance tile is computed once) on TPU-aligned shapes."""
+        import jax
+
+        N, M = xyz.shape[1], new_xyz.shape[1]
+        aligned = N % 128 == 0 and (M <= 128 or M % 128 == 0)
+        if (
+            len(self.radii) == 2
+            and aligned
+            and jax.default_backend() in ("tpu", "axon")
+        ):
+            from pointnet2_scannet_tpu.ops.pallas.ball_query_kernel import (
+                ball_query_multi_pallas,
+            )
+
+            return list(
+                ball_query_multi_pallas(
+                    tuple(float(r) for r in self.radii),
+                    tuple(int(k) for k in self.nsamples),
+                    xyz,
+                    new_xyz,
+                )
+            )
+        return [
+            ops.ball_query(float(r), int(k), xyz, new_xyz)
+            for r, k in zip(self.radii, self.nsamples)
+        ]
 
 
 class FeaturePropagation(nn.Module):

@@ -140,10 +140,28 @@ def query_and_group(
       (B, M, nsample, 3 + C) if use_xyz and features is not None;
       (B, M, nsample, 3) or (B, M, nsample, C) otherwise.
     """
+    idx = ball_query(radius, nsample, xyz, new_xyz, dist_mode=dist_mode)
+    return group_with_idx(
+        idx, xyz, new_xyz, features,
+        use_xyz=use_xyz, normalize_xyz=normalize_xyz, radius=radius,
+    )
+
+
+def group_with_idx(
+    idx: jnp.ndarray,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    features: jnp.ndarray | None,
+    *,
+    use_xyz: bool = True,
+    normalize_xyz: bool = False,
+    radius: float = 1.0,
+) -> jnp.ndarray:
+    """The grouping half of query_and_group, for callers that computed the
+    neighbor indices themselves (e.g. the fused multi-radius ball query)."""
     from pointnet2_scannet_tpu.ops.tuning import ops_config
 
     group = group_points_segsum if ops_config.group_segsum else group_points
-    idx = ball_query(radius, nsample, xyz, new_xyz, dist_mode=dist_mode)
     if features is not None and use_xyz:
         # ONE gather of the concatenated [xyz | features] rows instead of two
         # separate gathers (profiled: the two tiny-row gathers are the SA

@@ -115,3 +115,28 @@ class TestMxuGather:
         assert gk.supported(src, 32768)
         assert not gk.supported(jnp.zeros((1, 100, 6)), 32768)  # N not aligned
         assert not gk.supported(src, 100)  # J not aligned
+
+
+class TestBallQueryMultiPallas:
+    def test_matches_single_radius_kernels(self):
+        from pointnet2_scannet_tpu.ops.pallas.ball_query_kernel import (
+            ball_query_multi_pallas,
+            ball_query_pallas,
+        )
+
+        xyz = RNG.uniform(0, 1.5, size=(2, 256, 3)).astype(np.float32)
+        q = xyz[:, :64].copy()
+        i1, i2 = ball_query_multi_pallas(
+            (0.2, 0.4), (16, 32), jnp.asarray(xyz), jnp.asarray(q), interpret=True
+        )
+        w1 = ball_query_pallas(0.2, 16, jnp.asarray(xyz), jnp.asarray(q), interpret=True)
+        w2 = ball_query_pallas(0.4, 32, jnp.asarray(xyz), jnp.asarray(q), interpret=True)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(w1))
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(w2))
+        # and both equal the oracle
+        np.testing.assert_array_equal(
+            np.asarray(i1), oracles.ball_query_oracle(0.2, 16, xyz, q)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i2), oracles.ball_query_oracle(0.4, 32, xyz, q)
+        )
