@@ -15,8 +15,10 @@ import pathlib
 from typing import Any
 
 # ScanNet v2 semantic segmentation label set: 20 NYU classes
-# (lib/config.py:40-62). Label 0 in preprocessed scenes means "unannotated";
-# stored class labels are 1..20, shifted down by 1 at training time.
+# (lib/config.py:40-62). Preprocessed scenes store semantic labels directly
+# as 0..19 indices into this tuple (data/scannet_prep.py stores
+# NYU_CLASSES.index(name); see also data/scene_store.py) — no shift is
+# applied anywhere at training time. Unknown raw labels map to "otherprop".
 NYU_CLASSES = (
     "floor", "wall", "cabinet", "bed", "chair", "sofa", "table", "door",
     "window", "bookshelf", "picture", "counter", "desk", "curtain",

@@ -222,12 +222,21 @@ class Solver:
         ):
             now = time.time()
             fetch_times.append(now - last)
+            timed = (it + 1) % verbose == 0
+            if timed:
+                # Drain the async dispatch queue BEFORE the timed step so the
+                # measurement is one true device step, not the whole async
+                # window since the last fetch (the reference reports a real
+                # forward+backward split, lib/solver.py:214-230; we report one
+                # settled fwd+bwd+update step per verbose window instead).
+                jax.block_until_ready(self.state.params)
+                t_step = time.time()
             self.state, stats = self._train_step(self.state, batch, self.dropout_rng)
             losses.append(stats["loss"])
             cms.append(stats["confusion"])
-            if (it + 1) % verbose == 0:
-                jax.block_until_ready(stats["loss"])  # settle timing
-                step_times.append(time.time() - now)
+            if timed:
+                jax.block_until_ready(stats["loss"])
+                step_times.append(time.time() - t_step)
                 window = losses[-verbose:]
                 cm = np.sum([np.asarray(c) for c in cms[-verbose:]], axis=0)
                 pm = M.confusion_to_point_metrics(cm)
