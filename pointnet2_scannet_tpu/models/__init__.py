@@ -1,7 +1,18 @@
 """Flax models: PointNet++ SSG/MSG semantic segmentation heads for ScanNet."""
 
-from pointnet2_scannet_tpu.models.layers import PointwiseMLP
-from pointnet2_scannet_tpu.models.modules import SetAbstraction, FeaturePropagation
+from pointnet2_scannet_tpu.models.layers import (
+    FC,
+    BNMomentumScheduler,
+    PointwiseMLP,
+    RandomDropout,
+)
+from pointnet2_scannet_tpu.models.modules import (
+    FeaturePropagation,
+    LearnableFeaturePropagationMSG,
+    SetAbstraction,
+    SetAbstractionMSGVotes,
+    SetAbstractionVotes,
+)
 from pointnet2_scannet_tpu.models.pointnet2 import (
     PointNet2Spec,
     PointNet2SemSeg,
@@ -11,8 +22,14 @@ from pointnet2_scannet_tpu.models.pointnet2 import (
 )
 
 __all__ = [
+    "FC",
+    "BNMomentumScheduler",
     "PointwiseMLP",
+    "RandomDropout",
     "SetAbstraction",
+    "SetAbstractionVotes",
+    "SetAbstractionMSGVotes",
+    "LearnableFeaturePropagationMSG",
     "FeaturePropagation",
     "PointNet2Spec",
     "PointNet2SemSeg",

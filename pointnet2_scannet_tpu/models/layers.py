@@ -36,7 +36,17 @@ class PointwiseMLP(nn.Module):
     dtype: jnp.dtype | None = None  # compute dtype (None = inherit input)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        bn_momentum: jnp.ndarray | float | None = None,
+    ) -> jnp.ndarray:
+        """bn_momentum overrides the running-stat momentum (flax convention:
+        new = m*old + (1-m)*batch) for THIS call; pass a traced scalar from
+        the train step to schedule it per epoch without recompiling — the
+        TPU-native equivalent of the reference BNMomentumScheduler mutating
+        module attributes between epochs (pytorch_utils.py:271-297)."""
         n = len(self.widths)
         for i, w in enumerate(self.widths):
             x = nn.Dense(
@@ -49,7 +59,7 @@ class PointwiseMLP(nn.Module):
             if self.bn:
                 x = nn.BatchNorm(
                     use_running_average=not train,
-                    momentum=0.9,
+                    momentum=0.9 if bn_momentum is None else bn_momentum,
                     epsilon=1e-5,
                     dtype=self.dtype,
                     name=f"bn_{i}",
@@ -77,3 +87,76 @@ class RandomDropout(nn.Module):
         theta = jax.random.uniform(theta_rng, (), minval=0.0, maxval=self.p)
         keep = jax.random.bernoulli(mask_rng, 1.0 - theta, x.shape)
         return jnp.where(keep, x, 0.0)
+
+
+class FC(nn.Module):
+    """Fully-connected block on (B, C) vectors: Linear(+BN1d)(+activation),
+    with the reference's pre-activation ordering option (pytorch_utils.py
+    FC, :225-268). Bias is dropped when BN follows, like the reference (the
+    Linear keeps bias only without BN). Unused by the semseg pipeline;
+    provided for classifier-style heads."""
+
+    out_size: int
+    bn: bool = False
+    preact: bool = False
+    activation: bool = True  # ReLU, like the reference default
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        bn_momentum: jnp.ndarray | float | None = None,
+    ) -> jnp.ndarray:
+        def batchnorm(name):
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9 if bn_momentum is None else bn_momentum,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name=name,
+            )
+
+        if self.preact:
+            if self.bn:
+                x = batchnorm("bn_pre")(x)
+            if self.activation:
+                x = nn.relu(x)
+        x = nn.Dense(
+            self.out_size,
+            use_bias=not self.bn,
+            kernel_init=nn.initializers.he_normal(),
+            dtype=self.dtype,
+            name="fc",
+        )(x)
+        if not self.preact:
+            if self.bn:
+                x = batchnorm("bn")(x)
+            if self.activation:
+                x = nn.relu(x)
+        return x
+
+
+class BNMomentumScheduler:
+    """Epoch-indexed BatchNorm momentum schedule (the reference's
+    BNMomentumScheduler, pytorch_utils.py:271-297, which walks the torch
+    module tree mutating .momentum between epochs).
+
+    TPU-native design: flax modules are immutable and the train step is one
+    compiled program, so instead of mutating modules this scheduler just maps
+    epoch -> momentum, and the value is fed into the jitted step as a traced
+    scalar (every PointwiseMLP/FC call accepts bn_momentum) — no recompile
+    per epoch. `bn_lambda` returns a TORCH-convention momentum m_t (weight of
+    the new batch stat); the returned value is the flax convention 1 - m_t.
+    """
+
+    def __init__(self, bn_lambda, last_epoch: int = -1):
+        self.lmbd = bn_lambda
+        self.last_epoch = last_epoch
+
+    def step(self, epoch: int | None = None) -> float:
+        if epoch is None:
+            epoch = self.last_epoch + 1
+        self.last_epoch = epoch
+        return 1.0 - float(self.lmbd(epoch))

@@ -41,6 +41,7 @@ class SetAbstraction(nn.Module):
         xyz: jnp.ndarray,
         features: jnp.ndarray | None,
         train: bool = False,
+        bn_momentum=None,
     ) -> tuple[jnp.ndarray | None, jnp.ndarray, jnp.ndarray | None]:
         """(B, N, 3), (B, N, C) -> new_xyz (B, npoint, 3), feats (B, npoint, C').
 
@@ -71,7 +72,7 @@ class SetAbstraction(nn.Module):
                 grouped = ops.group_all(xyz, features, use_xyz=self.use_xyz)
             h = PointwiseMLP(
                 tuple(widths), bn=self.bn, dtype=self.dtype, name=f"mlp_{s}"
-            )(grouped, train)
+            )(grouped, train, bn_momentum)
             # max over the neighborhood/sample axis, like F.max_pool2d over
             # nsample (pointnet2_modules.py:65-71)
             scale_outs.append(jnp.max(h, axis=2))
@@ -122,6 +123,7 @@ class FeaturePropagation(nn.Module):
         unknown_feats: jnp.ndarray | None,
         known_feats: jnp.ndarray,
         train: bool = False,
+        bn_momentum=None,
     ) -> jnp.ndarray:
         """(B, n, 3), (B, m, 3), (B, n, C1), (B, m, C2) -> (B, n, mlp[-1])."""
         if known is not None:
@@ -151,9 +153,7 @@ class FeaturePropagation(nn.Module):
             h = jnp.concatenate([interpolated, unknown_feats], axis=-1)
         else:
             h = interpolated
-        return PointwiseMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype, name="mlp")(
-            h, train
-        )
+        return PointwiseMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype, name="mlp")(h, train, bn_momentum)
 
 
 class SetAbstractionVotes(nn.Module):
@@ -185,6 +185,7 @@ class SetAbstractionVotes(nn.Module):
         features: jnp.ndarray | None = None,
         inds: jnp.ndarray | None = None,
         train: bool = False,
+        bn_momentum=None,
     ):
         from pointnet2_scannet_tpu.ops.neighborhood import (
             uniform_resample_neighbors,
@@ -222,7 +223,7 @@ class SetAbstractionVotes(nn.Module):
             grouped_xyz = xyz[:, None, :, :]
 
         h = PointwiseMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype, name="mlp")(
-            grouped, train
+            grouped, train, bn_momentum
         )
         if self.pooling == "max":
             pooled = jnp.max(h, axis=2)
@@ -241,3 +242,108 @@ class SetAbstractionVotes(nn.Module):
         if self.ret_unique_cnt:
             return new_xyz, pooled, inds, unique_cnt
         return new_xyz, pooled, inds
+
+
+class SetAbstractionMSGVotes(nn.Module):
+    """Multi-scale SA with vote-supervision support (the reference's
+    PointnetSAModuleMSGVotes, pointnet2_modules.py:274-353): like
+    SetAbstraction but accepts precomputed sample indices and optional
+    uniform neighbor re-sampling; returns (new_xyz, feats, inds). Unused by
+    the ScanNet segmentation pipeline; provided for votenet-style heads."""
+
+    npoint: int | None
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+    bn: bool = True
+    sample_uniformly: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jnp.ndarray,
+        features: jnp.ndarray | None = None,
+        inds: jnp.ndarray | None = None,
+        train: bool = False,
+        bn_momentum=None,
+    ):
+        from pointnet2_scannet_tpu.ops.neighborhood import (
+            group_with_idx,
+            uniform_resample_neighbors,
+        )
+
+        if self.npoint is not None:
+            if inds is None:
+                inds = ops.furthest_point_sample(xyz, self.npoint)
+            new_xyz = ops.gather_points(xyz, inds)
+        else:
+            new_xyz = None
+
+        scale_outs = []
+        for s, widths in enumerate(self.mlps):
+            if self.npoint is not None:
+                idx = ops.ball_query(
+                    float(self.radii[s]), int(self.nsamples[s]), xyz, new_xyz
+                )
+                if self.sample_uniformly:
+                    idx, _ = uniform_resample_neighbors(self.make_rng("sample"), idx)
+                grouped = group_with_idx(
+                    idx, xyz, new_xyz, features, use_xyz=self.use_xyz
+                )
+            else:
+                grouped = ops.group_all(xyz, features, use_xyz=self.use_xyz)
+            h = PointwiseMLP(
+                tuple(widths), bn=self.bn, dtype=self.dtype, name=f"mlp_{s}"
+            )(grouped, train, bn_momentum)
+            scale_outs.append(jnp.max(h, axis=2))
+        return new_xyz, jnp.concatenate(scale_outs, axis=-1), inds
+
+
+class LearnableFeaturePropagationMSG(nn.Module):
+    """Learnable multi-scale feature propagation (the reference's
+    PointnetLFPModuleMSG, pointnet2_modules.py:418-496): propagate features1
+    (at xyz1) onto xyz2 by ball-query grouping per scale -> MLP -> max-pool,
+    concat the target set's own features2, then a post-MLP SHARED across
+    scales (the reference applies one self.post_mlp inside the scale loop);
+    scale outputs concatenate on channels."""
+
+    mlps: Sequence[Sequence[int]]
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    post_mlp: Sequence[int]
+    use_xyz: bool = True
+    bn: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz2: jnp.ndarray,
+        xyz1: jnp.ndarray,
+        features2: jnp.ndarray | None,
+        features1: jnp.ndarray | None,
+        train: bool = False,
+        bn_momentum=None,
+    ) -> jnp.ndarray:
+        """(B, N2, 3), (B, N1, 3), (B, N2, C2), (B, N1, C1) -> (B, N2, C')."""
+        from pointnet2_scannet_tpu.ops.neighborhood import group_with_idx
+
+        post = PointwiseMLP(
+            tuple(self.post_mlp), bn=self.bn, dtype=self.dtype, name="post_mlp"
+        )
+        scale_outs = []
+        for s, widths in enumerate(self.mlps):
+            idx = ops.ball_query(
+                float(self.radii[s]), int(self.nsamples[s]), xyz1, xyz2
+            )
+            grouped = group_with_idx(idx, xyz1, xyz2, features1, use_xyz=self.use_xyz)
+            h = PointwiseMLP(
+                tuple(widths), bn=self.bn, dtype=self.dtype, name=f"mlp_{s}"
+            )(grouped, train, bn_momentum)
+            h = jnp.max(h, axis=2)  # (B, N2, widths[-1])
+            if features2 is not None:
+                h = jnp.concatenate([h, features2], axis=-1)
+            scale_outs.append(post(h, train, bn_momentum))
+        return jnp.concatenate(scale_outs, axis=-1)

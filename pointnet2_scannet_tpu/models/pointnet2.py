@@ -110,7 +110,15 @@ class PointNet2SemSeg(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, pc: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        pc: jnp.ndarray,
+        train: bool = False,
+        bn_momentum: jnp.ndarray | float | None = None,
+    ) -> jnp.ndarray:
+        """bn_momentum (flax convention, optional traced scalar) schedules the
+        BatchNorm running-stat momentum per step/epoch without recompiling —
+        pair with models.layers.BNMomentumScheduler."""
         spec = self.spec
         xyz = pc[..., :3]
         features = pc[..., 3:] if pc.shape[-1] > 3 else None
@@ -127,7 +135,7 @@ class PointNet2SemSeg(nn.Module):
                 bn=spec.bn,
                 dtype=self.dtype,
                 name=f"sa_{lvl}",
-            )(l_xyz[lvl], l_feats[lvl], train)
+            )(l_xyz[lvl], l_feats[lvl], train, bn_momentum)
             l_xyz.append(new_xyz)
             l_feats.append(new_feats)
 
@@ -138,15 +146,15 @@ class PointNet2SemSeg(nn.Module):
                 bn=spec.bn,
                 dtype=self.dtype,
                 name=f"fp_{lvl}",
-            )(l_xyz[lvl], l_xyz[lvl + 1], l_feats[lvl], l_feats[lvl + 1], train)
+            )(l_xyz[lvl], l_xyz[lvl + 1], l_feats[lvl], l_feats[lvl + 1], train, bn_momentum)
 
         # classifier head (pointnet2_semseg.py:73-80)
         h = PointwiseMLP(spec.cls_fc, bn=spec.bn, dtype=self.dtype, name="cls_fc")(
-            l_feats[0], train
+            l_feats[0], train, bn_momentum
         )
         h = nn.Dropout(rate=spec.dropout, deterministic=not train)(h)
         logits = PointwiseMLP(
             (spec.num_classes,), bn=spec.bn, last_act=False, dtype=self.dtype,
             name="cls_out",
-        )(h, train)
+        )(h, train, bn_momentum)
         return logits.astype(jnp.float32)
