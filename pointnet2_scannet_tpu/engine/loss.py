@@ -7,8 +7,32 @@ dataset), and takes the MEAN over all points — including zero-weight ones.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
-import optax
+from jax import lax
+
+
+def softmax_ce_integer(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Per-point softmax cross-entropy with integer labels, scatter-free.
+
+    Numerically identical to optax.softmax_cross_entropy_with_integer_labels
+    (same max-shift formulation), but the label logit is picked with a
+    broadcast-compare one-hot multiply-sum instead of take_along_axis: the
+    gather over the tiny class axis and — worse — its scatter-add transpose in
+    the backward pass are pathological on TPU at B*N=262k points. The one-hot
+    product is exact (1.0 * x, zeros elsewhere), and the VJP is the dense
+    `softmax - onehot`, keeping the whole loss gradient on the VPU.
+    """
+    shifted = logits - lax.stop_gradient(
+        jnp.max(logits, axis=-1, keepdims=True)
+    )
+    onehot = (
+        labels[..., None]
+        == lax.broadcasted_iota(jnp.int32, shifted.shape, shifted.ndim - 1)
+    ).astype(shifted.dtype)
+    label_logits = jnp.sum(shifted * onehot, axis=-1)
+    log_normalizers = jnp.log(jnp.sum(jnp.exp(shifted), axis=-1))
+    return log_normalizers - label_logits
 
 
 def weighted_cross_entropy(
@@ -27,7 +51,7 @@ def weighted_cross_entropy(
         the mean is taken over real rows only, so a padded trailing batch
         produces the same loss the reference's ragged batch would.
     """
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    ce = softmax_ce_integer(logits, labels)
     if row_mask is None:
         return jnp.mean(ce * weights)
     m = row_mask[:, None]

@@ -17,7 +17,10 @@ import jax.numpy as jnp
 import optax
 from flax.training import train_state as flax_train_state
 
-from pointnet2_scannet_tpu.engine.loss import weighted_cross_entropy
+from pointnet2_scannet_tpu.engine.loss import (
+    softmax_ce_integer,
+    weighted_cross_entropy,
+)
 from pointnet2_scannet_tpu.engine.metrics import confusion_matrix
 
 
@@ -129,7 +132,7 @@ def grad_accum_step(
             rngs={"dropout": rng},
             mutable=["batch_stats"],
         )
-        ce = optax.softmax_cross_entropy_with_integer_labels(logits, batch["labels"])
+        ce = softmax_ce_integer(logits, batch["labels"])
         loss_sum = jnp.sum(ce * batch["weights"] * row_mask[:, None])
         return loss_sum, (logits, mutated["batch_stats"])
 

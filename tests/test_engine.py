@@ -32,6 +32,31 @@ class TestLoss:
         want = float((ce * weights).mean())
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
+    def test_scatter_free_ce_matches_optax(self):
+        # the one-hot label pick must match optax's take_along_axis
+        # formulation to float32 roundoff, values AND gradients (optax adds
+        # the max back inside logsumexp, so 1-ULP differences are expected)
+        import optax
+
+        from pointnet2_scannet_tpu.engine.loss import softmax_ce_integer
+
+        logits = jnp.asarray(RNG.normal(size=(4, 64, 20)).astype(np.float32))
+        labels = jnp.asarray(RNG.integers(0, 20, size=(4, 64)).astype(np.int32))
+        got = softmax_ce_integer(logits, labels)
+        want = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+        )
+        g_got = jax.grad(lambda l: jnp.sum(softmax_ce_integer(l, labels)))(logits)
+        g_want = jax.grad(
+            lambda l: jnp.sum(
+                optax.softmax_cross_entropy_with_integer_labels(l, labels)
+            )
+        )(logits)
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_want), atol=1e-7
+        )
+
     def test_zero_weight_points_ignored(self):
         logits = RNG.normal(size=(1, 4, 3)).astype(np.float32)
         labels = np.array([[0, 1, 2, 0]], np.int32)
