@@ -56,6 +56,12 @@ class SetAbstraction(nn.Module):
             idx = None
             new_xyz = None
 
+        if self.dtype is not None and features is not None:
+            # cast raw input features to the compute dtype BEFORE grouping so
+            # bf16 models take the packed single-bf16-gather path at SA1 too
+            # (the first Dense would cast them anyway)
+            features = features.astype(self.dtype)
+
         idxs = None
         if self.npoint is not None:
             idxs = self._scale_indices(xyz, new_xyz)

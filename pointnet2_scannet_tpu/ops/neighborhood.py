@@ -147,6 +147,36 @@ def query_and_group(
     )
 
 
+@jax.custom_vjp
+def split2_bf16(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """f32 -> (hi, lo) bf16 with hi + lo capturing the top 16 mantissa bits
+    (truncation split: hi is literally x's top 16 float32 bits).
+
+    VJP: hi = trunc(x) is piecewise constant (derivative 0 a.e.) and
+    lo = x - trunc(x) has derivative 1 a.e., so dx = d(lo) ALONE — summing
+    both cotangents would double-count when the caller re-adds hi + lo (the
+    intended use), since both parts then carry the same cotangent."""
+    masked = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(x, jnp.uint32) & jnp.uint32(0xFFFF0000),
+        jnp.float32,
+    )
+    hi = masked.astype(jnp.bfloat16)
+    lo = (x - masked).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _split2_fwd(x):
+    return split2_bf16(x), None
+
+
+def _split2_bwd(_, g):
+    _, glo = g
+    return (glo.astype(jnp.float32),)
+
+
+split2_bf16.defvjp(_split2_fwd, _split2_bwd)
+
+
 def group_with_idx(
     idx: jnp.ndarray,
     xyz: jnp.ndarray,
@@ -162,6 +192,31 @@ def group_with_idx(
     from pointnet2_scannet_tpu.ops.tuning import ops_config
 
     group = group_points_segsum if ops_config.group_segsum else group_points
+    if (
+        features is not None
+        and use_xyz
+        and features.dtype == jnp.bfloat16
+        and ops_config.packed_bf16_group
+    ):
+        # bf16 fast path: ONE bf16 gather of [xyz_hi | xyz_lo | feats] packed
+        # rows (half the gather/scatter traffic of the f32 path). xyz rides as
+        # a 2x-bf16 truncation split (16 mantissa bits, ~1e-4 m absolute at
+        # room scale) and is reconstructed + centroid-centered in f32 before
+        # the bf16 cast, so the CENTERED coordinates keep bf16's full relative
+        # precision instead of inheriting the raw coordinate's quantization.
+        hi, lo = split2_bf16(xyz.astype(jnp.float32))
+        payload = jnp.concatenate([hi, lo, features], axis=-1)
+        grouped = group(payload, idx)
+        gxyz = (
+            grouped[..., :3].astype(jnp.float32)
+            + grouped[..., 3:6].astype(jnp.float32)
+            - new_xyz[:, :, None, :]
+        )
+        if normalize_xyz:
+            gxyz = gxyz / radius
+        return jnp.concatenate(
+            [gxyz.astype(jnp.bfloat16), grouped[..., 6:]], axis=-1
+        )
     if features is not None and use_xyz:
         # ONE gather of the concatenated [xyz | features] rows instead of two
         # separate gathers (profiled: the two tiny-row gathers are the SA

@@ -28,10 +28,15 @@ class OpsConfig:
     ball_query_pallas: bool | None = None
     three_nn_pallas: bool | None = None
     # grouping gathers as one-hot MXU matmuls. Measured SLOWER than XLA's
-    # gather at the SSG shapes (lane padding C->128 plus the exactness-
-    # required Precision.HIGHEST make it ~2.5x the step time) — default off,
-    # kept for wide-channel use cases.
+    # gather at the SSG shapes (the one-hot contraction costs B*J*N*256 MXU
+    # FLOPs = 6.6 bf16-TFLOP at SA1 even with the exact 3x-bf16-split
+    # variant: 38 ms vs XLA's 13.7 ms, scripts/bench_gather.py) — default
+    # off, kept for wide-channel / small-N use cases.
     mxu_gather: bool | None = False
+    # bf16 models: pack [xyz_hi | xyz_lo | feats] into ONE bf16 grouping
+    # gather (half the gather/scatter bytes of the f32 concat, which would
+    # otherwise promote the whole payload to f32)
+    packed_bf16_group: bool = True
 
 
 ops_config = OpsConfig()

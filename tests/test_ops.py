@@ -120,6 +120,61 @@ class TestGrouping:
             out[..., 3:], oracles.group_points_oracle(feats, idx), atol=1e-6
         )
 
+    def test_packed_bf16_group_matches_f32_path(self):
+        from pointnet2_scannet_tpu.ops.neighborhood import group_with_idx
+
+        xyz = rand_cloud(2, 64)
+        feats = RNG.normal(size=(2, 64, 5)).astype(np.float32)
+        q = xyz[:, :16]
+        idx = oracles.ball_query_oracle(0.2, 8, xyz, q)
+        want = np.asarray(
+            group_with_idx(
+                jnp.asarray(idx), jnp.asarray(xyz), jnp.asarray(q),
+                jnp.asarray(feats),
+            )
+        )
+        got = np.asarray(
+            group_with_idx(
+                jnp.asarray(idx), jnp.asarray(xyz), jnp.asarray(q),
+                jnp.asarray(feats, jnp.bfloat16),
+            ),
+            np.float32,
+        )
+        # centered xyz keeps bf16 RELATIVE precision (reconstructed from the
+        # 16-bit hi+lo split in f32, centered, THEN cast): abs error is
+        # bounded by bf16 eps of the radius plus the 2^-16 split residue
+        np.testing.assert_allclose(got[..., :3], want[..., :3], atol=2e-3)
+        np.testing.assert_allclose(
+            got[..., 3:], want[..., 3:].astype(jnp.bfloat16).astype(np.float32)
+        )
+
+    def test_packed_bf16_group_grads_flow(self):
+        from pointnet2_scannet_tpu.ops.neighborhood import group_with_idx
+
+        xyz = rand_cloud(1, 32)
+        feats = RNG.normal(size=(1, 32, 4)).astype(np.float32)
+        idx = oracles.ball_query_oracle(0.3, 4, xyz, xyz[:, :8])
+
+        def f(x, ft):
+            out = group_with_idx(
+                jnp.asarray(idx), x, x[:, :8], ft.astype(jnp.bfloat16)
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        gx, gf = jax.grad(f, argnums=(0, 1))(jnp.asarray(xyz), jnp.asarray(feats))
+        assert np.isfinite(np.asarray(gx)).all() and np.asarray(gx).any()
+        assert np.isfinite(np.asarray(gf)).all() and np.asarray(gf).any()
+        # reference check: f32-path gradients at loose bf16 tolerance
+        def f32ref(x, ft):
+            out = group_with_idx(jnp.asarray(idx), x, x[:, :8], ft)
+            return jnp.sum(out**2)
+
+        gx2, gf2 = jax.grad(f32ref, argnums=(0, 1))(
+            jnp.asarray(xyz), jnp.asarray(feats)
+        )
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gf2), rtol=0.1, atol=0.05)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx2), rtol=0.1, atol=0.05)
+
     def test_group_all(self):
         xyz = rand_cloud(1, 16)
         feats = RNG.normal(size=(1, 16, 4)).astype(np.float32)

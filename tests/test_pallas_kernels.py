@@ -108,6 +108,43 @@ class TestMxuGather:
         finally:
             gk.pl.pallas_call = orig
 
+    def test_split3_bf16_is_exact(self):
+        from pointnet2_scannet_tpu.ops.pallas.gather_kernel import split3_bf16
+
+        # adversarial values: full-mantissa randoms, tiny, huge, negatives
+        x = np.concatenate(
+            [
+                RNG.normal(size=1024).astype(np.float32),
+                RNG.uniform(-1e30, 1e30, 64).astype(np.float32),
+                RNG.uniform(-1e-30, 1e-30, 64).astype(np.float32),
+                np.float32([0.0, -0.0, 1.0, -1.0, np.pi, 2**-120]),
+            ]
+        )
+        hi, mid, lo = split3_bf16(jnp.asarray(x))
+        recon = (
+            np.asarray(hi, np.float32)
+            + np.asarray(mid, np.float32)
+            + np.asarray(lo, np.float32)
+        )
+        np.testing.assert_array_equal(recon, x)
+
+    def test_split_gather_fwd_bwd_match_take_along_axis(self):
+        gk, orig = self._patched()
+        try:
+            src = jnp.asarray(RNG.normal(size=(2, 256, 8)).astype(np.float32))
+            idx = jnp.asarray(RNG.integers(0, 256, (2, 384)).astype(np.int32))
+            out = gk.mxu_gather_split(src, idx)
+            want = jnp.take_along_axis(src, idx[..., None], axis=1)
+            # the 3x bf16-pass gather must be BIT-exact on f32 values
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+            g1 = jax.grad(lambda s: jnp.sum(gk.mxu_gather_split(s, idx) ** 2))(src)
+            g2 = jax.grad(
+                lambda s: jnp.sum(jnp.take_along_axis(s, idx[..., None], axis=1) ** 2)
+            )(src)
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+        finally:
+            gk.pl.pallas_call = orig
+
     def test_supported_gating(self):
         import pointnet2_scannet_tpu.ops.pallas.gather_kernel as gk
 
