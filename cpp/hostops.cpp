@@ -86,6 +86,64 @@ int64_t chunk_scan(const float* xyz,       // (n, 3) row-major
   return inside;
 }
 
+// Whole-scene column tiler (lib/dataset.py:316-337 semantics): assign every
+// point to the 1.5m x 1.5m xy columns whose +-tol-expanded bounds contain it
+// (a point near a border belongs to up to 4 columns, exactly like the
+// reference's per-column mask loop). One O(n) binned pass instead of the
+// numpy nx*ny full-scene scans. Bounds arithmetic replicates numpy's dtype
+// promotion: curmin/curmax are float64 (f32 coordmin + python-float offsets),
+// points are f32 promoted to f64 for the compare.
+//
+// counts: (nx*ny) member counts, row-major (i*ny + j) — the reference's
+//   iteration order. members: member point indices grouped by column in that
+//   order, ascending within each column; capacity must be >= 4n.
+// Returns the total member count.
+int64_t tile_columns(const float* xyz, int64_t n,
+                     const float* coordmin,  // (3,) f32 scene min
+                     float zextent,          // f32(coordmax_z - coordmin_z)
+                     double L, double tol,
+                     int64_t nx, int64_t ny,
+                     int64_t* counts, int64_t* members) {
+  const double c0 = (double)coordmin[0];
+  const double c1 = (double)coordmin[1];
+  const double zlo = (double)coordmin[2] - tol;
+  const double zhi = (double)coordmin[2] + (double)zextent + tol;
+  const int64_t ncols = nx * ny;
+  for (int64_t c = 0; c < ncols; ++c) counts[c] = 0;
+
+  auto visit = [&](int64_t i, auto&& fn) {
+    const double x = (double)xyz[i * 3];
+    const double y = (double)xyz[i * 3 + 1];
+    const double z = (double)xyz[i * 3 + 2];
+    if (z < zlo || z > zhi) return;
+    const int64_t bi = (int64_t)((x - c0) / L);
+    const int64_t bj = (int64_t)((y - c1) / L);
+    for (int64_t ci = bi - 1; ci <= bi + 1; ++ci) {
+      if (ci < 0 || ci >= nx) continue;
+      if (x < c0 + (double)ci * L - tol) continue;
+      if (x > c0 + (double)(ci + 1) * L + tol) continue;
+      for (int64_t cj = bj - 1; cj <= bj + 1; ++cj) {
+        if (cj < 0 || cj >= ny) continue;
+        if (y < c1 + (double)cj * L - tol) continue;
+        if (y > c1 + (double)(cj + 1) * L + tol) continue;
+        fn(ci * ny + cj);
+      }
+    }
+  };
+
+  for (int64_t i = 0; i < n; ++i)
+    visit(i, [&](int64_t col) { ++counts[col]; });
+  std::vector<int64_t> cursor(ncols);
+  int64_t off = 0;
+  for (int64_t c = 0; c < ncols; ++c) {
+    cursor[c] = off;
+    off += counts[c];
+  }
+  for (int64_t i = 0; i < n; ++i)
+    visit(i, [&](int64_t col) { members[cursor[col]++] = i; });
+  return off;
+}
+
 static inline uint64_t mix64(uint64_t h) {
   h ^= h >> 33;
   h *= 0xff51afd7ed558ccdULL;

@@ -67,29 +67,36 @@ class WholeSceneDataset:
         nx = int(np.ceil((coordmax[0] - coordmin[0]) / L))
         ny = int(np.ceil((coordmax[1] - coordmin[1]) / L))
 
+        # column membership in ONE binned O(N) pass (native, numpy fallback)
+        # instead of the reference's nx*ny full-scene mask scans — identical
+        # membership/ordering semantics incl. the +-0.01 border overlap
+        # (lib/dataset.py:316-337)
+        from pointnet2_scannet_tpu.utils import native
+
+        counts, members = native.tile_columns(
+            feats_all[:, :3],
+            coordmin,
+            float(np.float32(coordmax[2] - coordmin[2])),
+            float(L),
+            0.01,
+            nx,
+            ny,
+        )
+        counts_flat = counts.reshape(-1)
+        offsets = np.concatenate([[0], np.cumsum(counts_flat)])
+
         f_out, l_out, w_out = [], [], []
-        for i in range(nx):
-            for j in range(ny):
-                curmin = coordmin + [i * L, j * L, 0]
-                curmax = coordmin + [
-                    (i + 1) * L,
-                    (j + 1) * L,
-                    coordmax[2] - coordmin[2],
-                ]
-                mask = np.all(
-                    (feats_all[:, :3] >= curmin - 0.01)
-                    & (feats_all[:, :3] <= curmax + 0.01),
-                    axis=1,
-                )
-                if not mask.any():
-                    continue
-                idx = np.flatnonzero(mask)
-                choice = self.rng.integers(0, len(idx), size=cfg.npoints)
-                sel = idx[choice]
-                f_out.append(feats_all[sel])
-                lab = labels_all[sel]
-                l_out.append(lab)
-                w_out.append(self.store.label_weights[lab])
+        for col in range(nx * ny):
+            cnt = counts_flat[col]
+            if cnt == 0:
+                continue
+            idx = members[offsets[col] : offsets[col] + cnt]
+            choice = self.rng.integers(0, cnt, size=cfg.npoints)
+            sel = idx[choice]
+            f_out.append(feats_all[sel])
+            lab = labels_all[sel]
+            l_out.append(lab)
+            w_out.append(self.store.label_weights[lab])
         return (
             np.stack(f_out).astype(np.float32),
             np.stack(l_out).astype(np.int32),

@@ -40,6 +40,11 @@ def _load():
         ]
         lib.unique_first_occurrence.restype = i64
         lib.unique_first_occurrence.argtypes = [i64p, i64, i64p, i64p]
+        lib.tile_columns.restype = i64
+        lib.tile_columns.argtypes = [
+            f32p, i64, f32p, ctypes.c_float, ctypes.c_double,
+            ctypes.c_double, i64, i64, i64p, i64p,
+        ]
         lib.coord_first_occurrence.restype = i64
         lib.coord_first_occurrence.argtypes = [f32p, i64, i64p]
         _lib = lib
@@ -92,6 +97,51 @@ def chunk_scan(
     vidx = np.ceil((sel[tight] - lo) / extent * [31.0, 31.0, 62.0])
     vidx = np.unique(vidx[:, 0] * 31.0 * 62.0 + vidx[:, 1] * 62.0 + vidx[:, 2])
     return mask, annotated, len(vidx)
+
+
+def tile_columns(
+    xyz: np.ndarray,
+    coordmin: np.ndarray,
+    zextent: float,
+    L: float,
+    tol: float,
+    nx: int,
+    ny: int,
+):
+    """Whole-scene column membership (lib/dataset.py:316-337 semantics).
+
+    Returns (counts (nx, ny) int64, members int64) where members holds the
+    point indices of every column concatenated in (i-major, j-minor) order,
+    ascending within a column — identical membership and ordering to the
+    reference's per-column mask loop (points within +-tol of a border appear
+    in multiple columns).
+    """
+    lib = _load()
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    coordmin = np.ascontiguousarray(coordmin, np.float32)
+    n = len(xyz)
+    if lib is not None:
+        counts = np.empty(nx * ny, np.int64)
+        members = np.empty(max(4 * n, 16), np.int64)
+        total = lib.tile_columns(
+            xyz, n, coordmin, ctypes.c_float(zextent),
+            ctypes.c_double(L), ctypes.c_double(tol), nx, ny, counts, members,
+        )
+        return counts.reshape(nx, ny), members[:total]
+    # numpy fallback: the reference's per-column mask loop (float64 bounds,
+    # exactly like `coordmin + [i*L, ...]` promotes)
+    cmin = coordmin.astype(np.float64)
+    counts = np.zeros((nx, ny), np.int64)
+    out = []
+    for i in range(nx):
+        for j in range(ny):
+            curmin = cmin + [i * L, j * L, 0.0]
+            curmax = cmin + [(i + 1) * L, (j + 1) * L, float(zextent)]
+            mask = np.all((xyz >= curmin - tol) & (xyz <= curmax + tol), axis=1)
+            idx = np.flatnonzero(mask)
+            counts[i, j] = len(idx)
+            out.append(idx.astype(np.int64))
+    return counts, np.concatenate(out) if out else np.empty(0, np.int64)
 
 
 def unique_first_occurrence(keys: np.ndarray):

@@ -128,6 +128,77 @@ class TestWholeScene:
             assert span[0] <= 1.5 + 0.03 and span[1] <= 1.5 + 0.03
 
 
+class TestTileColumns:
+    def _reference_tiling(self, xyz, coordmin, coordmax, L, tol=0.01):
+        """The pre-optimization per-column mask loop (lib/dataset.py:316-337
+        semantics) — the oracle the O(N) binned tiler must match bit-for-bit."""
+        nx = int(np.ceil((coordmax[0] - coordmin[0]) / L))
+        ny = int(np.ceil((coordmax[1] - coordmin[1]) / L))
+        counts = np.zeros((nx, ny), np.int64)
+        members = []
+        for i in range(nx):
+            for j in range(ny):
+                curmin = coordmin + [i * L, j * L, 0]
+                curmax = coordmin + [
+                    (i + 1) * L,
+                    (j + 1) * L,
+                    coordmax[2] - coordmin[2],
+                ]
+                mask = np.all(
+                    (xyz >= curmin - tol) & (xyz <= curmax + tol), axis=1
+                )
+                idx = np.flatnonzero(mask)
+                counts[i, j] = len(idx)
+                members.append(idx.astype(np.int64))
+        return counts, np.concatenate(members)
+
+    def test_native_matches_reference_loop(self):
+        from pointnet2_scannet_tpu.utils import native
+
+        rng = np.random.default_rng(3)
+        # spread over several columns; include points exactly on column
+        # borders (multiples of L) to exercise the +-tol overlap membership
+        xyz = rng.uniform(0, 4.5, (20_000, 3)).astype(np.float32)
+        xyz[:64, 0] = 1.5
+        xyz[64:128, 1] = 3.0
+        xyz[128:160, :2] = [1.5, 1.5]
+        coordmin = xyz.min(axis=0)
+        coordmax = xyz.max(axis=0)
+        L = 1.5
+        nx = int(np.ceil((coordmax[0] - coordmin[0]) / L))
+        ny = int(np.ceil((coordmax[1] - coordmin[1]) / L))
+        want_counts, want_members = self._reference_tiling(
+            xyz, coordmin, coordmax, L
+        )
+        got_counts, got_members = native.tile_columns(
+            xyz,
+            coordmin,
+            float(np.float32(coordmax[2] - coordmin[2])),
+            L,
+            0.01,
+            nx,
+            ny,
+        )
+        np.testing.assert_array_equal(got_counts, want_counts)
+        np.testing.assert_array_equal(got_members, want_members)
+        # border points really do land in more than one column
+        assert np.sum(want_counts) > len(xyz)
+
+    def test_numpy_fallback_matches_native(self, monkeypatch):
+        from pointnet2_scannet_tpu.utils import native
+
+        rng = np.random.default_rng(4)
+        xyz = rng.uniform(0, 3.2, (5_000, 3)).astype(np.float32)
+        coordmin, coordmax = xyz.min(axis=0), xyz.max(axis=0)
+        z = float(np.float32(coordmax[2] - coordmin[2]))
+        args = (xyz, coordmin, z, 1.5, 0.01, 3, 3)
+        got = native.tile_columns(*args)
+        monkeypatch.setattr(native, "_load", lambda: None)
+        want = native.tile_columns(*args)
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+
+
 class TestAsyncRegen:
     def test_async_regen_swaps_next_epoch(self, store):
         ds = ChunkedSceneDataset(store, CFG, phase="val", seed=5)

@@ -17,6 +17,16 @@ def perfect_apply(variables, pc, train=False):
     return jnp.eye(20)[labels] * 10.0  # one-hot logits
 
 
+def perfect_label_free_apply(pc):
+    """Deterministic pseudo-model for real datasets: logits derived from the
+    coordinates, so sequential and pipelined paths must agree exactly."""
+    import jax.numpy as jnp
+
+    h = jnp.sum(pc[..., :3] * jnp.asarray([7.1, 3.3, 1.7]), axis=-1)
+    cls = (jnp.abs(h) * 100.0).astype(jnp.int32) % 20
+    return jnp.eye(20)[cls] * 5.0
+
+
 class TestWholeSceneEvaluator:
     def make_data(self, n=3000):
         rng = np.random.default_rng(0)
@@ -58,6 +68,36 @@ class TestWholeSceneEvaluator:
         np.testing.assert_allclose(report.point_miou, 1.0, rtol=1e-6)
         # class 0 seen in both scenes, others only in scene a
         np.testing.assert_allclose(report.per_class_point_acc[0], 1.0, rtol=1e-6)
+
+    def test_pipelined_evaluate_matches_sequential(self):
+        # the cross-scene column batcher must produce exactly the per-scene
+        # results of the naive one-scene-at-a-time path, including when
+        # batches straddle scene boundaries (odd column counts vs batch 4)
+        store = make_synthetic_store(3, n_points=12_000)
+        ds = WholeSceneDataset(
+            store, DataConfig(npoints=256, use_color=True), seed=0
+        )
+        ev = WholeSceneEvaluator(
+            lambda v, pc, train=False: perfect_label_free_apply(pc), {},
+            batch_size=4,
+        )
+        report = ev.evaluate(ds, verbose=False)
+        ds2 = WholeSceneDataset(
+            store, DataConfig(npoints=256, use_color=True), seed=0
+        )
+        seq = [
+            ev.eval_scene(sid, f, l, w) for sid, (f, l, w) in ds2.iter_scenes()
+        ]
+        want = ev.aggregate(seq)
+        assert [r.scene_id for r in report.scenes] == [r.scene_id for r in seq]
+        np.testing.assert_allclose(report.point_acc, want.point_acc)
+        np.testing.assert_allclose(report.point_miou, want.point_miou)
+        np.testing.assert_allclose(report.voxel_miou, want.voxel_miou)
+        np.testing.assert_array_equal(
+            report.per_class_point_acc, want.per_class_point_acc
+        )
+        for a, b in zip(report.scenes, seq):
+            np.testing.assert_array_equal(a.point_miou, b.point_miou)
 
     def test_evaluate_on_synthetic_store(self):
         store = make_synthetic_store(1, n_points=8000)
