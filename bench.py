@@ -1,20 +1,20 @@
-"""Headline benchmark (measured 2026-08-16 on the single v5e chip:
-3.98M points/sec f32 SSG = 6.08x the reference baseline estimate.)
+"""Headline benchmark: training throughput of the flagship PointNet++ SSG
+config (batch 32 x 8192 points, xyz+color+normal — the reference's
+50.48-mIoU recipe, scripts/train.py:110-128), plus the MSG config, the
+whole-scene evaluator rate, and the audit numbers (step ms, model matmul
+FLOPs, MFU) that make the headline checkable.
 
-Original docstring: training throughput (points/sec) of the flagship
-PointNet++ SSG config (batch 32 x 8192 points, xyz+color+normal — the
-reference's 50.48-mIoU recipe, scripts/train.py:110-128).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
-the baseline is an estimate of the reference CUDA pipeline's full-iteration
-rate on its training GPU (RTX 3090): PointNet++ SSG fwd+bwd at batch 32x8192
-runs around 2.5 it/s on a 3090, and the reference additionally syncs
-device->host and voxelizes metrics with numpy EVERY iteration
-(lib/solver.py:225,327-347), roughly halving that in practice. We use the
-kernel-only 2.5 it/s figure (no metric-sync penalty) as a conservative
-baseline: 32 * 8192 * 2.5 = 655,360 points/sec.
+Prints ONE JSON line. Headline fields: metric/value/unit/vs_baseline
+(SSG f32 points/sec vs the reference-on-3090 estimate derived in
+BASELINE.md §"Throughput baseline derivation"). Extra fields:
+  step_ms            SSG train-step latency (settled, 20-step mean)
+  model_tflops_fwd   analytic forward matmul FLOPs of the SSG model (TF)
+  mfu                (3 x fwd matmul FLOPs) / step_time / 197e12 — fraction of
+                     the v5e chip's bf16 MXU peak the train step sustains
+                     (backward ~ 2x forward for matmuls; geometry ops and
+                     BN/opt excluded, so this slightly UNDERSTATES true use)
+  msg_points_per_sec MSG config training throughput
+  eval_scenes_per_sec whole-scene evaluator rate on 100k-pt synthetic scenes
 """
 
 from __future__ import annotations
@@ -24,20 +24,47 @@ import time
 
 import numpy as np
 
-BASELINE_POINTS_PER_SEC = 655_360.0
+BASELINE_POINTS_PER_SEC = 655_360.0  # derivation: BASELINE.md
+V5E_BF16_PEAK = 197e12
 BATCH = 32
 NPOINTS = 8192
 STEPS = 20
 
 
-def main() -> None:
+def fwd_matmul_flops(spec, B: int, N: int) -> float:
+    """Analytic forward matmul FLOPs (pointwise MLPs + head) of one batch."""
+    pts = [N] + list(spec.npoints)
+    f = 0.0
+    cin_feats = spec.input_channels
+    for lvl in range(len(spec.npoints)):
+        M = spec.npoints[lvl]
+        for s, widths in enumerate(spec.sa_mlps[lvl]):
+            K = spec.nsamples[lvl][s]
+            cin = cin_feats + (3 if spec.use_xyz else 0)
+            for w in widths:
+                f += 2.0 * B * M * K * cin * w
+                cin = w
+        cin_feats = sum(w[-1] for w in spec.sa_mlps[lvl])
+    chans = list(spec.skip_channels)  # feature channels per level pre-FP
+    cur = chans[-1]
+    for lvl in reversed(range(len(spec.fp_mlps))):
+        cin = cur + chans[lvl]
+        for w in spec.fp_mlps[lvl]:
+            f += 2.0 * B * pts[lvl] * cin * w
+            cin = w
+        cur = cin
+    cin = cur
+    for w in spec.cls_fc:
+        f += 2.0 * B * N * cin * w
+        cin = w
+    f += 2.0 * B * N * cin * spec.num_classes
+    return f
+
+
+def time_train(model, steps: int = STEPS) -> float:
+    """Settled seconds per train step."""
     import jax
 
-    from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
-    from pointnet2_scannet_tpu import models
     from pointnet2_scannet_tpu.engine import train_state as ts
     from pointnet2_scannet_tpu.parallel import (
         batch_sharding,
@@ -46,14 +73,9 @@ def main() -> None:
         replicated,
     )
 
-    mesh = make_mesh()  # all available devices, data-parallel
-    model = models.get_model(num_classes=20, is_msg=False, input_channels=6)
-
+    mesh = make_mesh()
     rng = np.random.default_rng(0)
     pc = rng.uniform(0.0, 1.5, size=(BATCH, NPOINTS, 9)).astype(np.float32)
-    variables = jax.jit(lambda: model.init(jax.random.key(0), pc[:1], train=False))()
-    del variables  # create_train_state re-inits; this warms nothing
-
     tx = ts.make_optimizer(ts.make_lr_schedule(1e-3, 100, 0.7, 100))
     state = ts.create_train_state(model, jax.random.key(0), pc[:1], tx)
     raw_batch = {
@@ -72,26 +94,72 @@ def main() -> None:
     step = make_parallel_train_step(mesh, num_classes=20)
 
     # warmup / compile. NOTE: fetch the loss value (not block_until_ready) —
-    # the axon tunnel backend's block_until_ready returns before execution
-    # finishes, which would make the timing meaningless.
+    # the axon tunnel's block_until_ready returns before execution finishes.
     for _ in range(3):
         state, stats = step(state, batch, dropout_rng)
     float(np.asarray(stats["loss"]))
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
+    for _ in range(steps):
         state, stats = step(state, batch, dropout_rng)
     float(np.asarray(stats["loss"]))
-    dt = time.perf_counter() - t0
+    return (time.perf_counter() - t0) / steps
 
-    pps = BATCH * NPOINTS * STEPS / dt
+
+def eval_scenes_per_sec(n_scenes: int = 6) -> float:
+    import jax
+
+    from pointnet2_scannet_tpu import models
+    from pointnet2_scannet_tpu.config import DataConfig
+    from pointnet2_scannet_tpu.data.synthetic import make_synthetic_store
+    from pointnet2_scannet_tpu.data.wholescene import WholeSceneDataset
+    from pointnet2_scannet_tpu.engine.evaluator import WholeSceneEvaluator
+
+    store = make_synthetic_store(n_scenes, n_points=100_000)
+    ds = WholeSceneDataset(
+        store, DataConfig(npoints=8192, use_color=True, use_normal=True), seed=0
+    )
+    model = models.get_model(20, is_msg=False, input_channels=6)
+    pc = np.zeros((1, 8192, 9), np.float32)
+    variables = jax.jit(lambda: model.init(jax.random.key(0), pc, train=False))()
+    ev = WholeSceneEvaluator(model.apply, variables, batch_size=16)
+    sid, (f, l, w) = next(iter(ds.iter_scenes()))
+    ev.eval_scene(sid, f, l, w)  # compile + warm
+    t0 = time.perf_counter()
+    ev.evaluate(ds, verbose=False)
+    return n_scenes / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from pointnet2_scannet_tpu import models
+
+    ssg = models.get_model(num_classes=20, is_msg=False, input_channels=6)
+    ssg_step_s = time_train(ssg)
+    ssg_pps = BATCH * NPOINTS / ssg_step_s
+
+    msg = models.get_model(num_classes=20, is_msg=True, input_channels=6)
+    msg_pps = BATCH * NPOINTS / time_train(msg)
+
+    eps = eval_scenes_per_sec()
+
+    flops_fwd = fwd_matmul_flops(ssg.spec, BATCH, NPOINTS)
+    mfu = 3.0 * flops_fwd / ssg_step_s / V5E_BF16_PEAK
     print(
         json.dumps(
             {
                 "metric": "train_points_per_sec_ssg_b32_n8192",
-                "value": round(pps, 1),
+                "value": round(ssg_pps, 1),
                 "unit": "points/sec",
-                "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),
+                "vs_baseline": round(ssg_pps / BASELINE_POINTS_PER_SEC, 3),
+                "step_ms": round(ssg_step_s * 1e3, 2),
+                "model_tflops_fwd": round(flops_fwd / 1e12, 4),
+                "mfu": round(mfu, 4),
+                "msg_points_per_sec": round(msg_pps, 1),
+                "eval_scenes_per_sec": round(eps, 3),
             }
         )
     )
