@@ -103,9 +103,20 @@ def group_points(
     """
     B, M, K = idx.shape
     flat = idx.reshape(B, M * K)
-    if use_mxu is None:
-        from pointnet2_scannet_tpu.ops.tuning import ops_config
+    from pointnet2_scannet_tpu.ops.tuning import ops_config
 
+    use_vmem = (
+        ops_config.vmem_gather
+        if ops_config.vmem_gather is not None
+        else _on_tpu()
+    )
+    if use_vmem:
+        from pointnet2_scannet_tpu.ops.pallas import vmem_gather_kernel
+
+        if vmem_gather_kernel.supported(points, M * K):
+            out = vmem_gather_kernel.vmem_gather_any(points, flat)
+            return out.reshape(B, M, K, points.shape[-1])
+    if use_mxu is None:
         use_mxu = (
             ops_config.mxu_gather if ops_config.mxu_gather is not None else _on_tpu()
         )

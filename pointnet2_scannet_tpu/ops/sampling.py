@@ -109,9 +109,19 @@ def gather_points(
     Returns:
       (B, M, C). Differentiable w.r.t. points (deterministic backward).
     """
-    if use_mxu is None:
-        from pointnet2_scannet_tpu.ops.tuning import ops_config
+    from pointnet2_scannet_tpu.ops.tuning import ops_config
 
+    use_vmem = (
+        ops_config.vmem_gather
+        if ops_config.vmem_gather is not None
+        else _on_tpu()
+    )
+    if use_vmem:
+        from pointnet2_scannet_tpu.ops.pallas import vmem_gather_kernel
+
+        if vmem_gather_kernel.supported(points, idx.shape[1]):
+            return vmem_gather_kernel.vmem_gather_any(points, idx)
+    if use_mxu is None:
         use_mxu = (
             ops_config.mxu_gather if ops_config.mxu_gather is not None else _on_tpu()
         )

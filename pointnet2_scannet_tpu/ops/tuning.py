@@ -33,6 +33,10 @@ class OpsConfig:
     # variant: 38 ms vs XLA's 13.7 ms, scripts/bench_gather.py) — default
     # off, kept for wide-channel / small-N use cases.
     mxu_gather: bool | None = False
+    # grouping/gather rows via the VMEM chunk-select lane-gather kernel
+    # (ops/pallas/vmem_gather_kernel.py): ~3x XLA's native gather at the SA
+    # shapes (4.5 ms vs 13.5 ms at SA1). None = auto on TPU backends.
+    vmem_gather: bool | None = None
     # bf16 models: pack [xyz_hi | xyz_lo | feats] into ONE bf16 grouping
     # gather (half the gather/scatter bytes of the f32 concat, which would
     # otherwise promote the whole payload to f32)

@@ -177,3 +177,64 @@ class TestBallQueryMultiPallas:
         np.testing.assert_array_equal(
             np.asarray(i2), oracles.ball_query_oracle(0.4, 32, xyz, q)
         )
+
+
+class TestVmemGather:
+    """Chunk-select lane-gather kernel (ops/pallas/vmem_gather_kernel.py) —
+    interpret-mode parity vs take_along_axis for values AND gradients."""
+
+    def test_f32_fwd_bwd_match_take_along_axis(self):
+        import jax
+
+        from pointnet2_scannet_tpu.ops.pallas import vmem_gather_kernel as vk
+
+        src = jnp.asarray(RNG.normal(size=(2, 384, 9)).astype(np.float32))
+        idx = jnp.asarray(RNG.integers(0, 384, (2, 256)).astype(np.int32))
+        out = vk.vmem_gather(src, idx, True)
+        want = jnp.take_along_axis(src, idx[..., None], axis=1)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+        g1 = jax.grad(lambda s: jnp.sum(vk.vmem_gather(s, idx, True) ** 2))(src)
+        g2 = jax.grad(
+            lambda s: jnp.sum(jnp.take_along_axis(s, idx[..., None], axis=1) ** 2)
+        )(src)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+    def test_bf16_pair_packed_gather(self):
+        import jax
+
+        from pointnet2_scannet_tpu.ops.pallas import vmem_gather_kernel as vk
+
+        src = jnp.asarray(
+            RNG.normal(size=(2, 256, 12)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        idx = jnp.asarray(RNG.integers(0, 256, (2, 128)).astype(np.int32))
+        out = vk.vmem_gather_any(src, idx, interpret=True)
+        want = jnp.take_along_axis(src, idx[..., None], axis=1)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(out, np.float32), np.asarray(want, np.float32)
+        )
+        g = jax.grad(
+            lambda s: jnp.sum(
+                vk.vmem_gather_any(s, idx, interpret=True).astype(jnp.float32) ** 2
+            )
+        )(src)
+        g2 = jax.grad(
+            lambda s: jnp.sum(
+                jnp.take_along_axis(s, idx[..., None], axis=1).astype(jnp.float32)
+                ** 2
+            )
+        )(src)
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(g2, np.float32), rtol=1e-2
+        )
+
+    def test_supported_gating(self):
+        from pointnet2_scannet_tpu.ops.pallas import vmem_gather_kernel as vk
+
+        assert vk.supported(jnp.zeros((1, 8192, 9)), 32768)
+        assert vk.supported(jnp.zeros((1, 1024, 12), jnp.bfloat16), 8192)
+        assert not vk.supported(jnp.zeros((1, 1024, 11), jnp.bfloat16), 8192)
+        assert not vk.supported(jnp.zeros((1, 100, 9)), 32768)  # N unaligned
+        assert not vk.supported(jnp.zeros((1, 8192, 9)), 100)  # J unaligned
+        assert not vk.supported(jnp.zeros((1, 8192, 9), jnp.float16), 1024)
