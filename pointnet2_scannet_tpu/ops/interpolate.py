@@ -12,6 +12,7 @@ Contract matched against the reference:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -79,6 +80,69 @@ def three_interpolate(
     return jnp.sum(gathered * weight[..., None], axis=2)
 
 
+def _dense_operator(idx: jnp.ndarray, weight: jnp.ndarray, m: int) -> jnp.ndarray:
+    """The sparse interpolation operator W (B, n, m) built densely: 3
+    one-hot-weighted nonzeros per row."""
+    B, n, _ = idx.shape
+    cols = lax.broadcasted_iota(jnp.int32, (B, n, 1, m), 3)
+    onehot = (cols == idx[..., :, None]).astype(weight.dtype)  # (B,n,3,m)
+    return jnp.einsum("bnk,bnkm->bnm", weight, onehot)
+
+
+@jax.custom_vjp
+def three_interpolate_fast(
+    points: jnp.ndarray, idx: jnp.ndarray, weight: jnp.ndarray
+) -> jnp.ndarray:
+    """three_interpolate with the reference's exact differentiability: the
+    backward produces grad_features ONLY (the CUDA ThreeInterpolate.backward
+    returns (grad_features, None, None), pointnet2_utils.py:188-206; weight
+    never carries gradients because three_nn is non-differentiable).
+
+    Forward: VMEM chunk-select gather of the 3 neighbor rows (+ weighted
+    sum). Backward: dense W^T @ g MXU matmul (scatter-free, same as
+    three_interpolate_dense's). NOTE: measured SLOWER than the dense path at
+    the C=128 FP level (see ops_config.interpolate_fast) — the gather
+    kernel's VMEM traffic scales with C*N/128; prefer this only for
+    narrow-channel sources.
+    """
+    return _fast_fwd_value(points, idx, weight)
+
+
+def _fast_fwd_value(points, idx, weight):
+    B, n, _ = idx.shape
+    flat = idx.reshape(B, 3 * n)
+    use_vmem = jax.default_backend() in ("tpu", "axon")
+    if use_vmem:
+        from pointnet2_scannet_tpu.ops.pallas import vmem_gather_kernel as vk
+
+        if vk.supported(points, 3 * n):
+            g = vk.vmem_gather_any(
+                lax.stop_gradient(points), lax.stop_gradient(flat)
+            )
+            return jnp.sum(g.reshape(B, n, 3, -1) * weight[..., None], axis=2)
+    g = jnp.take_along_axis(points[:, None, :, :], idx[..., None], axis=2)
+    return jnp.sum(g * weight[..., None], axis=2)
+
+
+def _fast_vjp_fwd(points, idx, weight):
+    return _fast_fwd_value(points, idx, weight), (
+        idx,
+        weight,
+        points.shape[1],
+        points.dtype,
+    )
+
+
+def _fast_vjp_bwd(res, g):
+    idx, weight, m, pdtype = res
+    W = _dense_operator(idx, weight.astype(g.dtype), m)
+    dpoints = jnp.einsum("bnm,bnc->bmc", W, g)
+    return dpoints.astype(pdtype), None, None
+
+
+three_interpolate_fast.defvjp(_fast_vjp_fwd, _fast_vjp_bwd)
+
+
 def three_interpolate_dense(
     points: jnp.ndarray,
     idx: jnp.ndarray,
@@ -93,9 +157,5 @@ def three_interpolate_dense(
     trading HBM traffic (the (B, n, m) operator) for scatter-free autodiff.
     Prefer for large n*m when the scatter path dominates the backward.
     """
-    B, n, _ = idx.shape
-    m = points.shape[1]
-    cols = lax.broadcasted_iota(jnp.int32, (B, n, 1, m), 3)
-    onehot = (cols == idx[..., :, None]).astype(points.dtype)  # (B,n,3,m)
-    W = jnp.einsum("bnk,bnkm->bnm", weight.astype(points.dtype), onehot)
+    W = _dense_operator(idx, weight.astype(points.dtype), points.shape[1])
     return jnp.einsum("bnm,bmc->bnc", W, points)

@@ -63,23 +63,43 @@ def _gather_kernel(src_ref, idx_ref, out_ref):
     out_ref[0] = acc.reshape(C, S, 128)
 
 
+def _fits(N: int, C: int, ts: int) -> bool:
+    return (C * N + 4 * C * ts * 128 + ts * 128) * 4 <= _VMEM_BUDGET_BYTES
+
+
+def _tile_s(N: int, C: int, S: int) -> int:
+    """Largest legal index-tile (in 128-lane rows) that keeps the working set
+    — source slab + ~4 (C, TS, 128) intermediates — under the VMEM budget.
+    Mosaic requires the block's sublane dim to be a multiple of 8 or the full
+    array dim, so tiles are multiples of 8 dividing S (or S itself)."""
+    if _fits(N, C, S):
+        return S
+    cands = [d for d in range(8, S, 8) if S % d == 0 and _fits(N, C, d)]
+    return max(cands) if cands else S
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _vmem_gather_fwd_only(src, idx, interpret=False):
     """(B, N, C) f32/i32 x (B, J) i32 -> (B, J, C), no autodiff."""
     B, N, C = src.shape
     J = idx.shape[1]
     S = J // 128
+    TS = _tile_s(N, C, S)
     src_t = jnp.transpose(src, (0, 2, 1))  # fused into the kernel feed
     idxm = idx.reshape(B, S, 128)
     out = pl.pallas_call(
         _gather_kernel,
-        grid=(B,),
+        grid=(B, S // TS),
         in_specs=[
-            pl.BlockSpec((1, C, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, C, N), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, TS, 128), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, C, S, 128), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, C, TS, 128), lambda b, j: (b, 0, j, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, C, S, 128), src.dtype),
         interpret=interpret,
@@ -145,9 +165,11 @@ def supported(src: jnp.ndarray, j: int) -> bool:
         esz = 4
     else:
         return False
+    # J is tiled down to fit the VMEM budget; the smallest legal tile
+    # (a multiple of 8 dividing S, else all of S) must fit
     S = j // 128
-    need = (C * N + 4 * C * S * 128 + S * 128) * esz
-    return need <= _VMEM_BUDGET_BYTES
+    ts = _tile_s(N, C, S)
+    return _fits(N, C, ts)
 
 
 def vmem_gather_any(

@@ -16,6 +16,13 @@ import dataclasses
 
 @dataclasses.dataclass
 class OpsConfig:
+    # FP modules use three_interpolate_fast (VMEM-gather forward + dense
+    # MXU backward, weight non-differentiable — the reference's contract).
+    # Measured SLOWER than the dense path at the big FP level (fwd 7.3 vs
+    # 3.8 ms: the chunk-select gather's VMEM traffic scales with C*N/128 and
+    # C=128 is past the crossover) — default off, kept for narrow-channel
+    # interpolation workloads.
+    interpolate_fast: bool | None = False
     # three_interpolate as a dense MXU matmul (scatter-free backward) instead
     # of gather + XLA scatter-add transpose; None = auto (on for TPU backends,
     # measured ~7% faster on the full SSG train step)

@@ -326,3 +326,43 @@ class TestOpVariants:
         g1 = jax.grad(lambda p: jnp.sum(ops.group_points(p, idx) ** 2))(points)
         g2 = jax.grad(lambda p: jnp.sum(group_points_segsum(p, idx) ** 2))(points)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5)
+
+
+class TestThreeInterpolateFast:
+    """three_interpolate_fast: reference-contract differentiability (grad to
+    features only, pointnet2_utils.py:188-206) with gather fwd + dense bwd."""
+
+    def test_value_and_feature_grad_match_plain(self):
+        import jax
+
+        from pointnet2_scannet_tpu.ops.interpolate import (
+            three_interpolate,
+            three_interpolate_fast,
+        )
+
+        rng = np.random.default_rng(11)
+        pts = jnp.asarray(rng.normal(size=(2, 128, 16)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 128, (2, 256, 3)).astype(np.int32))
+        w = jnp.asarray(rng.uniform(0.1, 1, (2, 256, 3)).astype(np.float32))
+        w = w / jnp.sum(w, -1, keepdims=True)
+        out = three_interpolate_fast(pts, idx, w)
+        want = three_interpolate(pts, idx, w)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+        g1 = jax.grad(lambda p: jnp.sum(three_interpolate_fast(p, idx, w) ** 2))(pts)
+        g2 = jax.grad(lambda p: jnp.sum(three_interpolate(p, idx, w) ** 2))(pts)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+    def test_weight_grad_is_zero_like_reference(self):
+        import jax
+
+        from pointnet2_scannet_tpu.ops.interpolate import three_interpolate_fast
+
+        rng = np.random.default_rng(12)
+        pts = jnp.asarray(rng.normal(size=(1, 128, 8)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 128, (1, 128, 3)).astype(np.int32))
+        w = jnp.asarray(rng.uniform(0.1, 1, (1, 128, 3)).astype(np.float32))
+        gw = jax.grad(
+            lambda w_: jnp.sum(three_interpolate_fast(pts, idx, w_) ** 2)
+        )(w)
+        # the CUDA ThreeInterpolate.backward returns None for weight
+        np.testing.assert_array_equal(np.asarray(gw), np.zeros_like(np.asarray(gw)))
