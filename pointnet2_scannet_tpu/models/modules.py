@@ -141,13 +141,26 @@ class FeaturePropagation(nn.Module):
             dist_recip = 1.0 / (dist + 1e-8)  # pointnet2_modules.py:395
             norm = jnp.sum(dist_recip, axis=2, keepdims=True)
             weight = dist_recip / norm
-            use_dense = ops_config.interpolate_dense
-            if use_dense is None:
-                import jax
+            import jax
 
-                use_dense = jax.default_backend() in ("tpu", "axon")
-            interp = three_interpolate_dense if use_dense else ops.three_interpolate
-            interpolated = interp(known_feats, idx, weight)
+            from pointnet2_scannet_tpu.ops.interpolate import (
+                three_interpolate_fast,
+            )
+
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            use_fast = ops_config.interpolate_fast
+            if use_fast is None:
+                use_fast = on_tpu
+            if use_fast:
+                interpolated = three_interpolate_fast(known_feats, idx, weight)
+            else:
+                use_dense = ops_config.interpolate_dense
+                if use_dense is None:
+                    use_dense = on_tpu
+                interp = (
+                    three_interpolate_dense if use_dense else ops.three_interpolate
+                )
+                interpolated = interp(known_feats, idx, weight)
         else:
             # broadcast a global feature onto every point
             # (pointnet2_modules.py:404-406)

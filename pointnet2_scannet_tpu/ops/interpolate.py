@@ -129,15 +129,15 @@ def _fast_vjp_fwd(points, idx, weight):
         idx,
         weight,
         points.shape[1],
-        points.dtype,
+        jnp.zeros((), points.dtype),  # dtype exemplar for the cotangent cast
     )
 
 
 def _fast_vjp_bwd(res, g):
-    idx, weight, m, pdtype = res
+    idx, weight, m, pproto = res
     W = _dense_operator(idx, weight.astype(g.dtype), m)
     dpoints = jnp.einsum("bnm,bnc->bmc", W, g)
-    return dpoints.astype(pdtype), None, None
+    return dpoints.astype(pproto.dtype), None, None
 
 
 three_interpolate_fast.defvjp(_fast_vjp_fwd, _fast_vjp_bwd)
