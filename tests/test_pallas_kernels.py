@@ -238,3 +238,22 @@ class TestVmemGather:
         assert not vk.supported(jnp.zeros((1, 100, 9)), 32768)  # N unaligned
         assert not vk.supported(jnp.zeros((1, 8192, 9)), 100)  # J unaligned
         assert not vk.supported(jnp.zeros((1, 8192, 9), jnp.float16), 1024)
+
+
+class TestThreeNNPallas:
+    def test_matches_oracle_interpret(self):
+        from pointnet2_scannet_tpu.ops.pallas.three_nn_kernel import three_nn_pallas
+
+        rng = np.random.default_rng(7)
+        unknown = rng.uniform(0, 1.5, size=(2, 512, 3)).astype(np.float32)
+        known = rng.uniform(0, 1.5, size=(2, 128, 3)).astype(np.float32)
+        d2, idx = three_nn_pallas(
+            jnp.asarray(unknown), jnp.asarray(known), interpret=True
+        )
+        want_d2, want_idx = oracles.three_nn_oracle(unknown, known)
+        np.testing.assert_array_equal(np.asarray(idx), want_idx)
+        # the kernel computes d^2 with the subtract-square form in f32 (the
+        # CUDA kernel's arithmetic); the oracle accumulates in f64
+        np.testing.assert_allclose(
+            np.asarray(d2), want_d2.astype(np.float32), rtol=1e-6
+        )
