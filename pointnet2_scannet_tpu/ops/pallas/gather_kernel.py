@@ -272,3 +272,28 @@ def supported(src: jnp.ndarray, idx_flat_len: int) -> bool:
         and N * max(C, 128) * 4 <= 6 * 1024 * 1024
         and TILE_J * N * 4 <= 6 * 1024 * 1024
     )
+
+
+def scatter_supported(n: int, j: int, c: int) -> bool:
+    """Shapes for which the 3x-bf16-split MXU scatter (the split-gather's
+    backward kernel) beats XLA's scatter-add: lane-aligned N, tileable J,
+    and the (n, C) f32 accumulator + a few (TILE_J, C) tiles in VMEM.
+    Measured at the SA levels: SA2 (J=8192, N=1024, C=67) 2.1 ms vs XLA's
+    4.1; SA3 0.4 vs 0.7 (scan-floor-subtracted). The contraction pays
+    J*n*max(C,128) MXU MACs, so big-N/skinny-C scatters (e.g. SA1's
+    J=32768, n=8192, C=9 — which the train step DCEs anyway) must stay on
+    XLA's scatter: gate on the measured-win envelope."""
+    return (
+        n % 128 == 0
+        and 128 <= n <= 2048
+        and j % TILE_J == 0
+        and TILE_J <= j <= 16384
+        and c >= 32
+        and (n * c + 6 * TILE_J * c) * 4 <= 8 * 1024 * 1024
+    )
+
+
+def mxu_scatter_add(idx: jnp.ndarray, g: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Deterministic scatter-add dsrc[b, idx[b, j], :] += g[b, j, :] as
+    exact 3x-bf16-split one-hot MXU matmuls. Check scatter_supported first."""
+    return _mxu_gather_split_bwd(idx, g, n=n)

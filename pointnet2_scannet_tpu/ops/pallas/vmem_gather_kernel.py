@@ -131,6 +131,13 @@ def _vjp_fwd(src, idx, interpret=False):
 def _vjp_bwd(interpret, res, g):
     idx, n = res
     B, J, C = g.shape
+    if not interpret:
+        from pointnet2_scannet_tpu.ops.pallas import gather_kernel as gk
+
+        if gk.scatter_supported(n, J, C):
+            # exact 3x-bf16-split one-hot MXU matmul scatter — ~2x XLA's
+            # scatter-add at the SA shapes (see gather_kernel.mxu_scatter_add)
+            return gk.mxu_scatter_add(idx, g, n), None
     dsrc = jnp.zeros((B, n, C), g.dtype)
     dsrc = dsrc.at[
         jnp.arange(B, dtype=idx.dtype)[:, None], idx, :

@@ -257,3 +257,37 @@ class TestThreeNNPallas:
         np.testing.assert_allclose(
             np.asarray(d2), want_d2.astype(np.float32), rtol=1e-6
         )
+
+
+class TestMxuScatterAdd:
+    def test_matches_xla_scatter_add(self):
+        from jax.experimental import pallas as pl
+
+        import pointnet2_scannet_tpu.ops.pallas.gather_kernel as gk
+
+        orig = pl.pallas_call
+        gk.pl.pallas_call = lambda *a, **k: orig(*a, interpret=True, **k)
+        try:
+            B, J, N, C = 2, 384, 256, 40
+            g = jnp.asarray(RNG.normal(size=(B, J, C)).astype(np.float32))
+            idx = jnp.asarray(RNG.integers(0, N, (B, J)).astype(np.int32))
+            got = gk.mxu_scatter_add(idx, g, N)
+            want = (
+                jnp.zeros((B, N, C))
+                .at[jnp.arange(B)[:, None], idx, :]
+                .add(g)
+            )
+            # 3x-bf16 split: exact on f32 inputs up to summation order
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+            )
+        finally:
+            gk.pl.pallas_call = orig
+
+    def test_envelope(self):
+        import pointnet2_scannet_tpu.ops.pallas.gather_kernel as gk
+
+        assert gk.scatter_supported(1024, 8192, 67)  # SA2
+        assert gk.scatter_supported(256, 2048, 131)  # SA3
+        assert not gk.scatter_supported(64, 512, 259)  # SA4: N unaligned
+        assert not gk.scatter_supported(8192, 32768, 9)  # SA1: out of envelope
