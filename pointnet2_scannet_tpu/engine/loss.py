@@ -57,3 +57,25 @@ def weighted_cross_entropy(
     m = row_mask[:, None]
     denom = jnp.maximum(jnp.sum(row_mask), 1.0) * ce.shape[-1]
     return jnp.sum(ce * weights * m) / denom
+
+
+def weighted_cross_entropy_sharded(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    weights: jnp.ndarray,
+    row_mask: jnp.ndarray | None,
+    axis_name: str,
+) -> jnp.ndarray:
+    """weighted_cross_entropy over a batch sharded along `axis_name`
+    (shard_map): per-shard sums psum'd so the value equals the global-batch
+    mean (up to reduction order). Differentiating through the psums yields
+    the correct global-mean gradients on every shard."""
+    ce = softmax_ce_integer(logits, labels)
+    if row_mask is None:
+        num = lax.psum(jnp.sum(ce * weights), axis_name)
+        cnt = lax.psum(jnp.float32(ce.size), axis_name)
+        return num / cnt
+    m = row_mask[:, None]
+    num = lax.psum(jnp.sum(ce * weights * m), axis_name)
+    rows = jnp.maximum(lax.psum(jnp.sum(row_mask), axis_name), 1.0)
+    return num / (rows * ce.shape[-1])

@@ -20,6 +20,7 @@ from flax.training import train_state as flax_train_state
 from pointnet2_scannet_tpu.engine.loss import (
     softmax_ce_integer,
     weighted_cross_entropy,
+    weighted_cross_entropy_sharded,
 )
 from pointnet2_scannet_tpu.engine.metrics import confusion_matrix
 
@@ -74,10 +75,19 @@ def train_step(
     dropout_rng: jax.Array,
     *,
     num_classes: int,
+    axis_name: str | None = None,
 ) -> tuple[TrainState, dict[str, jnp.ndarray]]:
     """One optimization step. Returns (new_state, stats) where stats holds the
-    scalar loss and the on-device confusion matrix for this batch."""
+    scalar loss and the on-device confusion matrix for this batch.
+
+    axis_name: set when running inside shard_map over a data-parallel mesh
+    axis — the loss/metrics are psum'd to global-batch values, dropout keys
+    are folded with the device index, and gradients come out globally correct
+    by differentiating through the psums. The model must then be built with
+    bn_axis_name=axis_name so train-time BN also normalizes globally."""
     rng = jax.random.fold_in(dropout_rng, state.step)
+    if axis_name is not None:
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
 
     def loss_fn(params):
         logits, mutated = state.apply_fn(
@@ -87,9 +97,18 @@ def train_step(
             rngs={"dropout": rng},
             mutable=["batch_stats"],
         )
-        loss = weighted_cross_entropy(
-            logits, batch["labels"], batch["weights"], batch.get("row_mask")
-        )
+        if axis_name is None:
+            loss = weighted_cross_entropy(
+                logits, batch["labels"], batch["weights"], batch.get("row_mask")
+            )
+        else:
+            loss = weighted_cross_entropy_sharded(
+                logits,
+                batch["labels"],
+                batch["weights"],
+                batch.get("row_mask"),
+                axis_name,
+            )
         return loss, (logits, mutated["batch_stats"])
 
     (loss, (logits, new_batch_stats)), grads = jax.value_and_grad(
@@ -99,6 +118,8 @@ def train_step(
     state = state.replace(batch_stats=new_batch_stats)
     preds = jnp.argmax(logits, axis=-1)
     cm = confusion_matrix(preds, batch["labels"], num_classes, batch.get("row_mask"))
+    if axis_name is not None:
+        cm = jax.lax.psum(cm, axis_name)
     return state, {"loss": loss, "confusion": cm}
 
 

@@ -34,6 +34,11 @@ class PointwiseMLP(nn.Module):
     # (pytorch_utils.py:24-36); set last_act=False for a head's final layer.
     last_act: bool = True
     dtype: jnp.dtype | None = None  # compute dtype (None = inherit input)
+    # mapped-axis name for cross-device BN statistics: set to the dp axis
+    # when the model runs inside shard_map so train-time BN normalizes over
+    # the GLOBAL batch (bit-parity with the GSPMD/pjit step); None under
+    # jit/GSPMD, where XLA already sees the full batch.
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(
@@ -62,6 +67,7 @@ class PointwiseMLP(nn.Module):
                     momentum=0.9 if bn_momentum is None else bn_momentum,
                     epsilon=1e-5,
                     dtype=self.dtype,
+                    axis_name=self.bn_axis_name,
                     name=f"bn_{i}",
                 )(x)
             if self.last_act or i < n - 1:

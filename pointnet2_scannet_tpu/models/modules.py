@@ -34,6 +34,7 @@ class SetAbstraction(nn.Module):
     use_xyz: bool = True
     bn: bool = True
     dtype: jnp.dtype | None = None
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(
@@ -77,7 +78,7 @@ class SetAbstraction(nn.Module):
             else:
                 grouped = ops.group_all(xyz, features, use_xyz=self.use_xyz)
             h = PointwiseMLP(
-                tuple(widths), bn=self.bn, dtype=self.dtype, name=f"mlp_{s}"
+                tuple(widths), bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name=f"mlp_{s}"
             )(grouped, train, bn_momentum)
             # max over the neighborhood/sample axis, like F.max_pool2d over
             # nsample (pointnet2_modules.py:65-71)
@@ -120,6 +121,7 @@ class FeaturePropagation(nn.Module):
     mlp: Sequence[int]
     bn: bool = True
     dtype: jnp.dtype | None = None
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(
@@ -172,7 +174,7 @@ class FeaturePropagation(nn.Module):
             h = jnp.concatenate([interpolated, unknown_feats], axis=-1)
         else:
             h = interpolated
-        return PointwiseMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype, name="mlp")(h, train, bn_momentum)
+        return PointwiseMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="mlp")(h, train, bn_momentum)
 
 
 class SetAbstractionVotes(nn.Module):
@@ -196,6 +198,7 @@ class SetAbstractionVotes(nn.Module):
     sample_uniformly: bool = False
     ret_unique_cnt: bool = False
     dtype: jnp.dtype | None = None
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(
@@ -241,7 +244,7 @@ class SetAbstractionVotes(nn.Module):
             grouped = ops.group_all(xyz, features, use_xyz=self.use_xyz)
             grouped_xyz = xyz[:, None, :, :]
 
-        h = PointwiseMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype, name="mlp")(
+        h = PointwiseMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="mlp")(
             grouped, train, bn_momentum
         )
         if self.pooling == "max":
@@ -278,6 +281,7 @@ class SetAbstractionMSGVotes(nn.Module):
     bn: bool = True
     sample_uniformly: bool = False
     dtype: jnp.dtype | None = None
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(
@@ -314,7 +318,7 @@ class SetAbstractionMSGVotes(nn.Module):
             else:
                 grouped = ops.group_all(xyz, features, use_xyz=self.use_xyz)
             h = PointwiseMLP(
-                tuple(widths), bn=self.bn, dtype=self.dtype, name=f"mlp_{s}"
+                tuple(widths), bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name=f"mlp_{s}"
             )(grouped, train, bn_momentum)
             scale_outs.append(jnp.max(h, axis=2))
         return new_xyz, jnp.concatenate(scale_outs, axis=-1), inds
@@ -335,6 +339,7 @@ class LearnableFeaturePropagationMSG(nn.Module):
     use_xyz: bool = True
     bn: bool = True
     dtype: jnp.dtype | None = None
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(
@@ -350,7 +355,7 @@ class LearnableFeaturePropagationMSG(nn.Module):
         from pointnet2_scannet_tpu.ops.neighborhood import group_with_idx
 
         post = PointwiseMLP(
-            tuple(self.post_mlp), bn=self.bn, dtype=self.dtype, name="post_mlp"
+            tuple(self.post_mlp), bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="post_mlp"
         )
         scale_outs = []
         for s, widths in enumerate(self.mlps):
@@ -359,7 +364,7 @@ class LearnableFeaturePropagationMSG(nn.Module):
             )
             grouped = group_with_idx(idx, xyz1, xyz2, features1, use_xyz=self.use_xyz)
             h = PointwiseMLP(
-                tuple(widths), bn=self.bn, dtype=self.dtype, name=f"mlp_{s}"
+                tuple(widths), bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name=f"mlp_{s}"
             )(grouped, train, bn_momentum)
             h = jnp.max(h, axis=2)  # (B, N2, widths[-1])
             if features2 is not None:

@@ -96,11 +96,12 @@ def get_model(
     use_xyz: bool = True,
     bn: bool = True,
     dtype: jnp.dtype | None = None,
+    bn_axis_name: str | None = None,
 ) -> "PointNet2SemSeg":
     """Factory mirroring the reference get_model (pointnet2_semseg.py:7-23)."""
     spec = (msg_spec if is_msg else ssg_spec)(num_classes, input_channels)
     spec = dataclasses.replace(spec, use_xyz=use_xyz, bn=bn)
-    return PointNet2SemSeg(spec=spec, dtype=dtype)
+    return PointNet2SemSeg(spec=spec, dtype=dtype, bn_axis_name=bn_axis_name)
 
 
 class PointNet2SemSeg(nn.Module):
@@ -108,6 +109,7 @@ class PointNet2SemSeg(nn.Module):
 
     spec: PointNet2Spec
     dtype: jnp.dtype | None = None
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(
@@ -134,6 +136,7 @@ class PointNet2SemSeg(nn.Module):
                 use_xyz=spec.use_xyz,
                 bn=spec.bn,
                 dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name,
                 name=f"sa_{lvl}",
             )(l_xyz[lvl], l_feats[lvl], train, bn_momentum)
             l_xyz.append(new_xyz)
@@ -145,16 +148,19 @@ class PointNet2SemSeg(nn.Module):
                 mlp=spec.fp_mlps[lvl],
                 bn=spec.bn,
                 dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name,
                 name=f"fp_{lvl}",
             )(l_xyz[lvl], l_xyz[lvl + 1], l_feats[lvl], l_feats[lvl + 1], train, bn_momentum)
 
         # classifier head (pointnet2_semseg.py:73-80)
-        h = PointwiseMLP(spec.cls_fc, bn=spec.bn, dtype=self.dtype, name="cls_fc")(
+        h = PointwiseMLP(spec.cls_fc, bn=spec.bn, dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name, name="cls_fc")(
             l_feats[0], train, bn_momentum
         )
         h = nn.Dropout(rate=spec.dropout, deterministic=not train)(h)
         logits = PointwiseMLP(
             (spec.num_classes,), bn=spec.bn, last_act=False, dtype=self.dtype,
+            bn_axis_name=self.bn_axis_name,
             name="cls_out",
         )(h, train, bn_momentum)
         return logits.astype(jnp.float32)

@@ -14,7 +14,9 @@ import functools
 import jax
 from jax.sharding import Mesh
 
-from pointnet2_scannet_tpu.engine import train_state as ts
+# engine.train_state is imported lazily inside each builder: importing it
+# here closes an import cycle (parallel -> step -> engine -> solver ->
+# parallel.step) that breaks any entry point importing `parallel` first
 from pointnet2_scannet_tpu.parallel.mesh import batch_sharding, replicated
 
 
@@ -24,6 +26,8 @@ def make_parallel_train_step(mesh: Mesh, *, num_classes: int, donate: bool = Tru
     Returns fn(state, batch, rng) -> (state, stats); `batch` arrays must have
     a leading batch axis divisible by the mesh's dp size.
     """
+    from pointnet2_scannet_tpu.engine import train_state as ts
+
     step = functools.partial(ts.train_step, num_classes=num_classes)
     if mesh.size == 1:
         # single device: skip sharding annotations entirely — on the tunneled
@@ -47,6 +51,8 @@ def make_sharded_train_step(*, num_classes: int, donate: bool = True):
     follows the data (use parallel.mesh.shard_train_state for tp/dp placement
     of the state and batch_sharding for the batch). GSPMD propagates the
     shardings through the whole step and inserts the collectives."""
+    from pointnet2_scannet_tpu.engine import train_state as ts
+
     step = functools.partial(ts.train_step, num_classes=num_classes)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -54,6 +60,8 @@ def make_sharded_train_step(*, num_classes: int, donate: bool = True):
 def make_parallel_accum_step(mesh: Mesh, *, num_classes: int):
     """Gradient-accumulation micro-step for whole-scene training: batch rows
     sharded over dp, accumulated outputs replicated."""
+    from pointnet2_scannet_tpu.engine import train_state as ts
+
     step = functools.partial(ts.grad_accum_step, num_classes=num_classes)
     if mesh.size == 1:
         return jax.jit(step)
@@ -67,6 +75,8 @@ def make_parallel_accum_step(mesh: Mesh, *, num_classes: int):
 
 
 def make_parallel_apply_accum(mesh: Mesh):
+    from pointnet2_scannet_tpu.engine import train_state as ts
+
     if mesh.size == 1:
         return jax.jit(ts.apply_accumulated, donate_argnums=(0,))
     rep = replicated(mesh)
@@ -80,6 +90,8 @@ def make_parallel_apply_accum(mesh: Mesh):
 
 def make_parallel_eval_step(mesh: Mesh, *, num_classes: int):
     """Build a jitted data-parallel eval step; preds come back batch-sharded."""
+    from pointnet2_scannet_tpu.engine import train_state as ts
+
     step = functools.partial(ts.eval_step, num_classes=num_classes)
     if mesh.size == 1:
         return jax.jit(step)
@@ -90,3 +102,48 @@ def make_parallel_eval_step(mesh: Mesh, *, num_classes: int):
         in_shardings=(rep, shard),
         out_shardings={"loss": rep, "confusion": rep, "preds": shard},
     )
+
+
+def make_shardmap_train_step(
+    mesh: Mesh, *, num_classes: int, axis_name: str = "dp", donate: bool = True
+):
+    """Data-parallel train step as an explicit shard_map over `axis_name`.
+
+    Why this exists alongside make_parallel_train_step: GSPMD treats
+    pallas_call as an opaque custom call it cannot partition, so under the
+    pjit step a multi-chip mesh would all-gather the batch around every
+    geometry kernel (FPS / ball query / vmem gather) and run them replicated.
+    shard_map instead traces the WHOLE step per device on its batch shard —
+    each chip runs its own Pallas kernels on B/dp elements — with the
+    cross-device math made explicit: the loss/metrics psum to global-batch
+    values (engine/loss.weighted_cross_entropy_sharded), gradients are
+    globally correct by differentiation through those psums, and BN
+    statistics sync through flax's BatchNorm(axis_name=...) — so the model
+    MUST be built with bn_axis_name=axis_name. Numerics match the pjit step
+    (tests/test_parallel.py asserts agreement on the virtual mesh).
+
+    Requires a 1-axis (dp-only) mesh; combine with tp via the GSPMD step
+    instead.
+    """
+    from pointnet2_scannet_tpu.engine import train_state as ts
+
+    from jax.sharding import PartitionSpec as P
+
+    if mesh.size == 1:
+        step = functools.partial(ts.train_step, num_classes=num_classes)
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+    assert mesh.axis_names == (axis_name,), (
+        f"shard_map step wants a 1-axis ({axis_name},) mesh, got "
+        f"{mesh.axis_names}; use make_parallel_train_step for dp x tp"
+    )
+    step = functools.partial(
+        ts.train_step, num_classes=num_classes, axis_name=axis_name
+    )
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P()),  # state/rng replicated, batch split
+        out_specs=(P(), P()),
+        check_vma=False,  # outputs are replicated by construction (psums)
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())

@@ -130,3 +130,97 @@ class TestTensorParallel:
                 assert spec == jax.sharding.PartitionSpec(None, "tp"), (path, spec)
                 found = True
         assert found
+
+
+class TestShardMapStep:
+    """make_shardmap_train_step: per-device tracing (the multi-chip path for
+    Pallas kernels, which GSPMD cannot partition) must agree with the GSPMD
+    pjit step. Dropout is zeroed — the two paths draw masks differently by
+    design (per-device fold_in vs one global pattern)."""
+
+    def _spec(self):
+        import dataclasses
+
+        from pointnet2_scannet_tpu.models.pointnet2 import ssg_spec
+
+        return dataclasses.replace(ssg_spec(20, 0), dropout=0.0)
+
+    def test_matches_gspmd_step(self):
+        import dataclasses
+
+        from pointnet2_scannet_tpu.models.pointnet2 import PointNet2SemSeg
+        from pointnet2_scannet_tpu.parallel.step import make_shardmap_train_step
+
+        spec = self._spec()
+        rng = np.random.default_rng(7)
+        pc = rng.uniform(0, 1.5, size=(B, N, 3)).astype(np.float32)
+        batch = {
+            "points": pc,
+            "labels": rng.integers(0, 20, size=(B, N)).astype(np.int32),
+            "weights": np.ones((B, N), np.float32),
+            "row_mask": np.ones((B,), np.float32),
+        }
+        tx = ts.make_optimizer(ts.make_lr_schedule(1e-3, 100, 0.7, 10))
+        results = {}
+        for kind in ("gspmd", "shard_map"):
+            mesh = make_mesh(8)
+            model = PointNet2SemSeg(
+                spec=spec, bn_axis_name="dp" if kind == "shard_map" else None
+            )
+            state = ts.create_train_state(model, jax.random.key(0), pc[:1], tx)
+            state = jax.device_put(state, replicated(mesh))
+            b = jax.device_put(batch, batch_sharding(mesh))
+            key = jax.device_put(jax.random.key(1), replicated(mesh))
+            if kind == "gspmd":
+                step = make_parallel_train_step(mesh, num_classes=20, donate=False)
+            else:
+                step = make_shardmap_train_step(mesh, num_classes=20, donate=False)
+            new_state, stats = step(state, b, key)
+            results[kind] = (
+                float(stats["loss"]),
+                np.asarray(stats["confusion"]),
+                np.asarray(jax.tree_util.tree_leaves(new_state.params)[0]),
+                np.asarray(jax.tree_util.tree_leaves(new_state.batch_stats)[0]),
+            )
+        g, s = results["gspmd"], results["shard_map"]
+        np.testing.assert_allclose(g[0], s[0], rtol=2e-4)
+        assert g[1].sum() == s[1].sum() == B * N
+        drift = np.abs(g[1] - s[1]).sum()
+        assert drift <= B * N * 0.01, f"confusion drift {drift}"
+        np.testing.assert_allclose(g[2], s[2], atol=2.5e-3)  # one Adam step
+        # BN batch stats: psum'd per-shard moments vs the global-batch
+        # moments — same statistic, different reduction order
+        np.testing.assert_allclose(g[3], s[3], rtol=1e-4, atol=1e-5)
+
+    def test_row_mask_loss_matches_unsharded_formula(self):
+        from pointnet2_scannet_tpu.engine.loss import (
+            weighted_cross_entropy,
+            weighted_cross_entropy_sharded,
+        )
+        from jax.sharding import PartitionSpec as P
+
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(9)
+        logits = rng.normal(size=(B, 64, 20)).astype(np.float32)
+        labels = rng.integers(0, 20, (B, 64)).astype(np.int32)
+        weights = rng.uniform(0.5, 2.0, (B, 64)).astype(np.float32)
+        row_mask = np.array([1, 1, 1, 0, 1, 1, 0, 1], np.float32)
+        want = float(
+            weighted_cross_entropy(
+                jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(weights),
+                jnp.asarray(row_mask),
+            )
+        )
+        fn = jax.jit(
+            jax.shard_map(
+                lambda lo, la, w, m: weighted_cross_entropy_sharded(
+                    lo, la, w, m, "dp"
+                ),
+                mesh=mesh,
+                in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+        got = float(fn(logits, labels, weights, row_mask))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
