@@ -123,8 +123,13 @@ def eval_scenes_per_sec(n_scenes: int = 6) -> float:
     pc = np.zeros((1, 8192, 9), np.float32)
     variables = jax.jit(lambda: model.init(jax.random.key(0), pc, train=False))()
     ev = WholeSceneEvaluator(model.apply, variables, batch_size=16)
-    sid, (f, l, w) = next(iter(ds.iter_scenes()))
-    ev.eval_scene(sid, f, l, w)  # compile + warm
+    # compile + warm the index-streaming graphs on a one-scene dataset
+    warm = WholeSceneDataset(
+        make_synthetic_store(1, n_points=100_000),
+        DataConfig(npoints=8192, use_color=True, use_normal=True),
+        seed=0,
+    )
+    ev.evaluate(warm, verbose=False)
     t0 = time.perf_counter()
     ev.evaluate(ds, verbose=False)
     return n_scenes / (time.perf_counter() - t0)

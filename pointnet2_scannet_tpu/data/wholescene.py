@@ -41,12 +41,18 @@ class WholeSceneDataset:
     def input_channels(self) -> int:
         return self.cfg.input_channels
 
-    def get_scene(self, index: int):
-        """Tile one scene.
+    def max_points(self) -> int:
+        """Largest per-scene point count (for fixed-shape device buffers)."""
+        return max(
+            len(self.store.scenes[sid]) for sid in self.store.scene_ids
+        )
 
-        Returns:
-          feats (S, npoints, 3+C), labels (S, npoints) int32,
-          weights (S, npoints) float32 — S = number of non-empty columns.
+    def _tile_indices(self, index: int):
+        """Shared tiler core: per-column resample indices into the scene.
+
+        Returns (feats_all (N, 3+C) f32, sel (S, npoints) int64) where
+        sel[s] are the with-replacement point indices of non-empty column s
+        (reference order/semantics, lib/dataset.py:316-337).
         """
         cfg = self.cfg
         sid = self.store.scene_ids[index]
@@ -59,7 +65,6 @@ class WholeSceneDataset:
             use_normal=cfg.use_normal,
             use_multiview=cfg.use_multiview,
         )
-        labels_all = scene[:, 10].astype(np.int32)
 
         coordmin = feats_all[:, :3].min(axis=0)
         coordmax = feats_all[:, :3].max(axis=0)
@@ -85,24 +90,58 @@ class WholeSceneDataset:
         counts_flat = counts.reshape(-1)
         offsets = np.concatenate([[0], np.cumsum(counts_flat)])
 
-        f_out, l_out, w_out = [], [], []
+        sels = []
         for col in range(nx * ny):
             cnt = counts_flat[col]
             if cnt == 0:
                 continue
             idx = members[offsets[col] : offsets[col] + cnt]
             choice = self.rng.integers(0, cnt, size=cfg.npoints)
-            sel = idx[choice]
-            f_out.append(feats_all[sel])
-            lab = labels_all[sel]
-            l_out.append(lab)
-            w_out.append(self.store.label_weights[lab])
+            sels.append(idx[choice])
+        return feats_all, np.stack(sels)
+
+    def get_scene(self, index: int):
+        """Tile one scene.
+
+        Returns:
+          feats (S, npoints, 3+C), labels (S, npoints) int32,
+          weights (S, npoints) float32 — S = number of non-empty columns.
+        """
+        sid = self.store.scene_ids[index]
+        feats_all, sel = self._tile_indices(index)
+        labels_all = self.store.scenes[sid][:, 10].astype(np.int32)
+        lab = labels_all[sel]
         return (
-            np.stack(f_out).astype(np.float32),
-            np.stack(l_out).astype(np.int32),
-            np.stack(w_out).astype(np.float32),
+            feats_all[sel].astype(np.float32),
+            lab,
+            self.store.label_weights[lab].astype(np.float32),
+        )
+
+    def get_scene_indexed(self, index: int):
+        """Tile one scene WITHOUT materializing per-column feature copies.
+
+        Returns (feats_all (N, 3+C) f32, col_idx (S, npoints) int32,
+        labels (S, npoints) int32, weights (S, npoints) f32). Identical RNG
+        draws to get_scene, so feats_all[col_idx] == get_scene()[0] for a
+        same-seeded dataset. Used by the evaluator's index-streaming mode:
+        the scene ships to the device ONCE and only the int32 resample
+        indices ride per batch (~2x less host->device traffic).
+        """
+        sid = self.store.scene_ids[index]
+        feats_all, sel = self._tile_indices(index)
+        labels_all = self.store.scenes[sid][:, 10].astype(np.int32)
+        lab = labels_all[sel]
+        return (
+            feats_all.astype(np.float32),
+            sel.astype(np.int32),
+            lab,
+            self.store.label_weights[lab].astype(np.float32),
         )
 
     def iter_scenes(self):
         for i in range(len(self)):
             yield self.store.scene_ids[i], self.get_scene(i)
+
+    def iter_scenes_indexed(self):
+        for i in range(len(self)):
+            yield self.store.scene_ids[i], self.get_scene_indexed(i)

@@ -90,6 +90,8 @@ class WholeSceneEvaluator:
         self.batch_size = batch_size
         self.num_classes = num_classes
 
+        self._apply_fn = apply_fn
+
         def fwd(variables, points):
             # argmax on device: fetching int8-sized preds instead of the full
             # (B, N, C) logits cuts the device->host transfer ~20x
@@ -99,6 +101,35 @@ class WholeSceneEvaluator:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         self._fwd = jax.jit(fwd)
+        self._idx_cache: dict = {}  # (W, n_pad, C) -> (fwd_idx, update_slot)
+
+    def _build_indexed(self, W: int, n_pad: int, C: int):
+        if (W, n_pad, C) in self._idx_cache:
+            return self._idx_cache[(W, n_pad, C)]
+        import functools
+
+        import jax.numpy as jnp
+        from jax import lax
+
+        apply_fn = self._apply_fn
+
+        @jax.jit
+        def fwd_idx(variables, stack, idx):
+            # stack (W, n_pad, C) resident scenes; idx (B, npoints) int32
+            # global rows (slot * n_pad + point). The gather rebuilds the
+            # column batch ON DEVICE, so only ~0.5 MB of indices rides the
+            # host->device link per batch instead of the 4.7 MB of features
+            # (the tunnel moves ~60 MB/s — eval was transfer-bound).
+            pts = jnp.take(stack.reshape(W * n_pad, C), idx, axis=0)
+            logits = apply_fn(variables, pts, train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def update_slot(stack, scene, slot):
+            return lax.dynamic_update_slice(stack, scene[None], (slot, 0, 0))
+
+        self._idx_cache[(W, n_pad, C)] = (fwd_idx, update_slot)
+        return fwd_idx, update_slot
 
     def predict_scene(self, feats: np.ndarray) -> np.ndarray:
         """(S, npoints, 3+C) -> (S, npoints) predicted labels, batching S into
@@ -116,9 +147,10 @@ class WholeSceneEvaluator:
         return np.concatenate(preds, axis=0).astype(np.int64)
 
     def _metrics_for(
-        self, scene_id: str, feats, labels, weights, preds: np.ndarray
+        self, scene_id: str, coords, labels, weights, preds: np.ndarray
     ) -> SceneResult:
-        coords = feats[..., :3].reshape(-1, 3)
+        """coords: (S, npoints, 3) sampled column coordinates."""
+        coords = coords.reshape(-1, 3)
         preds_f = preds.reshape(-1).astype(np.int64)
         targets_f = labels.reshape(-1).astype(np.int64)
         weights_f = weights.reshape(-1)
@@ -134,7 +166,7 @@ class WholeSceneEvaluator:
 
     def eval_scene(self, scene_id: str, feats, labels, weights) -> SceneResult:
         preds = self.predict_scene(feats)
-        return self._metrics_for(scene_id, feats, labels, weights, preds)
+        return self._metrics_for(scene_id, feats[..., :3], labels, weights, preds)
 
     def evaluate(self, dataset: WholeSceneDataset, verbose: bool = True) -> EvalReport:
         """Evaluate every scene with a three-stage pipeline:
@@ -149,10 +181,17 @@ class WholeSceneEvaluator:
         tail), up to `depth` batches ride the async dispatch queue while the
         host packs the next ones, and each finished scene's voxel metrics run
         on a thread pool overlapped with the remaining forwards.
+
+        Index streaming: each scene's features upload ONCE into a W-slot
+        device ring; per-batch traffic is the int32 resample indices only,
+        and the column batch is rebuilt by an on-device gather — the
+        host->device link (the usual eval bottleneck) carries ~2x less.
         """
         import queue
         import threading
         from concurrent.futures import ThreadPoolExecutor
+
+        import jax.numpy as jnp
 
         q: queue.Queue = queue.Queue(maxsize=4)
         sentinel = object()
@@ -160,8 +199,11 @@ class WholeSceneEvaluator:
 
         def producer():
             try:
-                for item in dataset.iter_scenes():
-                    q.put(item)
+                for sid, (feats_all, col_idx, labels, weights) in (
+                    dataset.iter_scenes_indexed()
+                ):
+                    coords = feats_all[:, :3][col_idx]  # (S, npoints, 3)
+                    q.put((sid, feats_all, col_idx, coords, labels, weights))
             except BaseException as e:  # noqa: BLE001 - re-raised below
                 error.append(e)
             finally:
@@ -171,9 +213,15 @@ class WholeSceneEvaluator:
 
         B = self.batch_size
         depth = 2  # in-flight device batches
+        W = 4  # resident scene slots on device
+        n_pad = dataset.max_points()
+        C = dataset.cfg.input_channels + 3
+        fwd_idx, update_slot = self._build_indexed(W, n_pad, C)
+        stack = jnp.zeros((W, n_pad, C), jnp.float32)
+
         scenes: list[dict] = []  # arrival order; completed in order too
         futures: list = []
-        chunks: list[np.ndarray] = []  # column pieces awaiting a full batch
+        chunks: list[np.ndarray] = []  # (n, npoints) i32 global index pieces
         assigns: list[tuple[dict, int, int, int]] = []  # (scene, s0, b0, n)
         buffered = 0
         inflight: list[tuple[object, list, int]] = []  # (device preds, assigns, rows)
@@ -189,7 +237,7 @@ class WholeSceneEvaluator:
                         pool.submit(
                             self._metrics_for,
                             scene["id"],
-                            scene["feats"],
+                            scene["coords"],
                             scene["labels"],
                             scene["weights"],
                             scene["preds"],
@@ -219,7 +267,7 @@ class WholeSceneEvaluator:
                 if rows < B:
                     pad = np.zeros((B - rows,) + batch.shape[1:], batch.dtype)
                     batch = np.concatenate([batch, pad], axis=0)
-                preds_dev = self._fwd(self.variables, batch)  # async dispatch
+                preds_dev = fwd_idx(self.variables, stack, batch)  # async
                 inflight.append((preds_dev, batch_assigns, rows))
                 while len(inflight) > (0 if flush and buffered == 0 else depth):
                     drain_oldest(pool)
@@ -240,26 +288,46 @@ class WholeSceneEvaluator:
                 printed += 1
 
         with ThreadPoolExecutor(max_workers=3) as pool:
+            seq = 0
             while True:
                 item = q.get()
                 if item is sentinel:
                     if error:
                         raise error[0]
                     break
-                scene_id, (feats, labels, weights) = item
-                S = feats.shape[0]
+                scene_id, feats_all, col_idx, coords, labels, weights = item
+                slot = seq % W
+                # slot reuse safety: nothing buffered or in flight may still
+                # reference the scene being evicted from this slot
+                evicted = seq - W
+                if evicted >= 0 and any(
+                    sc["seq"] <= evicted and sc["remaining"] > 0
+                    for sc in scenes
+                ):
+                    dispatch(pool, flush=True)
+                    while inflight:
+                        drain_oldest(pool)
+                n = feats_all.shape[0]
+                padded = feats_all
+                if n < n_pad:
+                    padded = np.zeros((n_pad, C), np.float32)
+                    padded[:n] = feats_all
+                stack = update_slot(stack, jnp.asarray(padded), slot)
+                S = col_idx.shape[0]
                 scene = {
                     "id": scene_id,
-                    "feats": feats,
+                    "seq": seq,
+                    "coords": coords,
                     "labels": labels,
                     "weights": weights,
-                    "preds": np.empty((S, feats.shape[1]), np.int64),
+                    "preds": np.empty((S, col_idx.shape[1]), np.int64),
                     "remaining": S,
                 }
                 scenes.append(scene)
-                chunks.append(feats)
+                chunks.append((col_idx + slot * n_pad).astype(np.int32))
                 assigns.append((scene, 0, 0, S))
                 buffered += S
+                seq += 1
                 dispatch(pool)
                 report_progress()
             dispatch(pool, flush=True)

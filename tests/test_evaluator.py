@@ -110,3 +110,27 @@ class TestWholeSceneEvaluator:
         # constant-zero logits predict class 0 ('floor') everywhere
         assert 0.0 <= report.point_acc <= 1.0
         assert report.per_class_point_acc.shape == (20,)
+
+    def test_slot_eviction_with_tiny_scenes(self):
+        # scenes so small that one device batch spans MORE scenes than the
+        # W=4 resident-slot ring: the eviction guard must flush-drain before
+        # a slot is overwritten, and results still match the naive path
+        store = make_synthetic_store(10, n_points=2_000)
+        ds = WholeSceneDataset(
+            store, DataConfig(npoints=128, use_color=True), seed=0
+        )
+        ev = WholeSceneEvaluator(
+            lambda v, pc, train=False: perfect_label_free_apply(pc), {},
+            batch_size=16,
+        )
+        report = ev.evaluate(ds, verbose=False)
+        ds2 = WholeSceneDataset(
+            store, DataConfig(npoints=128, use_color=True), seed=0
+        )
+        seq = [
+            ev.eval_scene(sid, f, l, w) for sid, (f, l, w) in ds2.iter_scenes()
+        ]
+        want = ev.aggregate(seq)
+        np.testing.assert_allclose(report.point_acc, want.point_acc)
+        for a, b in zip(report.scenes, seq):
+            np.testing.assert_array_equal(a.point_miou, b.point_miou)
