@@ -229,13 +229,17 @@ class Solver:
                 # window since the last fetch (the reference reports a real
                 # forward+backward split, lib/solver.py:214-230; we report one
                 # settled fwd+bwd+update step per verbose window instead).
-                jax.block_until_ready(self.state.params)
+                # Sync points FETCH a scalar: on the axon tunnel backend
+                # block_until_ready returns before execution finishes
+                # (CLAUDE.md / bench.py), which would make this ~dispatch
+                # latency instead of a step time.
+                np.asarray(self.state.step)  # output of the newest step
                 t_step = time.time()
             self.state, stats = self._train_step(self.state, batch, self.dropout_rng)
             losses.append(stats["loss"])
             cms.append(stats["confusion"])
             if timed:
-                jax.block_until_ready(stats["loss"])
+                float(np.asarray(stats["loss"]))
                 step_times.append(time.time() - t_step)
                 window = losses[-verbose:]
                 cm = np.sum([np.asarray(c) for c in cms[-verbose:]], axis=0)

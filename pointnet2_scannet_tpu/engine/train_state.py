@@ -114,6 +114,14 @@ def train_step(
     (loss, (logits, new_batch_stats)), grads = jax.value_and_grad(
         loss_fn, has_aux=True
     )(state.params)
+    if axis_name is not None:
+        # inside shard_map, differentiating the psum'd loss gives each device
+        # only ITS shard's contribution to the global gradient (psum's
+        # transpose broadcasts the cotangent; it does not sum the grads) —
+        # the global gradient is the psum of the contributions. Without this
+        # every chip would apply a different gradient and params would
+        # silently diverge.
+        grads = jax.lax.psum(grads, axis_name)
     state = state.apply_gradients(grads=grads)
     state = state.replace(batch_stats=new_batch_stats)
     preds = jnp.argmax(logits, axis=-1)

@@ -109,9 +109,15 @@ def three_interpolate_fast(
 
 
 def _fast_fwd_value(points, idx, weight):
+    from pointnet2_scannet_tpu.ops.tuning import ops_config
+
     B, n, _ = idx.shape
     flat = idx.reshape(B, 3 * n)
-    use_vmem = jax.default_backend() in ("tpu", "axon")
+    use_vmem = (
+        ops_config.vmem_gather
+        if ops_config.vmem_gather is not None
+        else jax.default_backend() in ("tpu", "axon")
+    )
     if use_vmem:
         from pointnet2_scannet_tpu.ops.pallas import vmem_gather_kernel as vk
 

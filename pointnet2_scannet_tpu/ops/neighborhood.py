@@ -105,7 +105,8 @@ def group_points(
     flat = idx.reshape(B, M * K)
     from pointnet2_scannet_tpu.ops.tuning import ops_config
 
-    use_vmem = (
+    # an explicit use_mxu=True takes precedence over the vmem auto-path
+    use_vmem = use_mxu is not True and (
         ops_config.vmem_gather
         if ops_config.vmem_gather is not None
         else _on_tpu()
@@ -167,12 +168,10 @@ def split2_bf16(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     lo = x - trunc(x) has derivative 1 a.e., so dx = d(lo) ALONE — summing
     both cotangents would double-count when the caller re-adds hi + lo (the
     intended use), since both parts then carry the same cotangent."""
-    masked = jax.lax.bitcast_convert_type(
-        jax.lax.bitcast_convert_type(x, jnp.uint32) & jnp.uint32(0xFFFF0000),
-        jnp.float32,
-    )
-    hi = masked.astype(jnp.bfloat16)
-    lo = (x - masked).astype(jnp.bfloat16)
+    from pointnet2_scannet_tpu.ops.pallas.gather_kernel import _trunc_bf16
+
+    hi = _trunc_bf16(x)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
 
 

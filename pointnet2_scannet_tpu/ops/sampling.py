@@ -111,7 +111,8 @@ def gather_points(
     """
     from pointnet2_scannet_tpu.ops.tuning import ops_config
 
-    use_vmem = (
+    # an explicit use_mxu=True takes precedence over the vmem auto-path
+    use_vmem = use_mxu is not True and (
         ops_config.vmem_gather
         if ops_config.vmem_gather is not None
         else _on_tpu()

@@ -39,9 +39,13 @@ def main(n_scenes: int = 4) -> None:
     variables = jax.jit(lambda: model.init(jax.random.key(0), pc, train=False))()
     ev = WholeSceneEvaluator(model.apply, variables, batch_size=16)
 
-    # warm up compile on the first scene
-    sid, (f, l, w) = next(iter(ds.iter_scenes()))
-    ev.eval_scene(sid, f, l, w)
+    # warm up the index-streaming compiles on a one-scene dataset
+    warm = WholeSceneDataset(
+        make_synthetic_store(1, n_points=100_000),
+        DataConfig(npoints=8192, use_color=True, use_normal=True),
+        seed=0,
+    )
+    ev.evaluate(warm, verbose=False)
 
     t0 = time.perf_counter()
     report = ev.evaluate(ds, verbose=False)
