@@ -134,3 +134,31 @@ class TestWholeSceneEvaluator:
         np.testing.assert_allclose(report.point_acc, want.point_acc)
         for a, b in zip(report.scenes, seq):
             np.testing.assert_array_equal(a.point_miou, b.point_miou)
+
+    def test_varying_scene_sizes_pad_the_device_ring(self):
+        # scenes of DIFFERENT point counts: smaller scenes are zero-padded to
+        # max_points in their ring slot; indices never touch the pad rows, so
+        # results must still match the naive path exactly
+        from pointnet2_scannet_tpu.data.scene_store import SceneStore
+        from pointnet2_scannet_tpu.data.synthetic import make_synthetic_scene
+
+        scenes = {
+            "a_full_00": make_synthetic_scene(0, n_points=9_000),
+            "b_small_00": make_synthetic_scene(1, n_points=9_000)[:4_000],
+            "c_tiny_00": make_synthetic_scene(2, n_points=9_000)[:2_500],
+        }
+        store = SceneStore.from_scenes(scenes)
+        cfg = DataConfig(npoints=128, use_color=True)
+        ev = WholeSceneEvaluator(
+            lambda v, pc, train=False: perfect_label_free_apply(pc), {},
+            batch_size=8,
+        )
+        report = ev.evaluate(WholeSceneDataset(store, cfg, seed=0), verbose=False)
+        ds2 = WholeSceneDataset(store, cfg, seed=0)
+        seq = [
+            ev.eval_scene(sid, f, l, w) for sid, (f, l, w) in ds2.iter_scenes()
+        ]
+        want = ev.aggregate(seq)
+        np.testing.assert_allclose(report.point_acc, want.point_acc)
+        for a, b in zip(report.scenes, seq):
+            np.testing.assert_array_equal(a.point_miou, b.point_miou)

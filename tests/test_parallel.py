@@ -232,3 +232,35 @@ class TestShardMapStep:
         )
         got = float(fn(logits, labels, weights, row_mask))
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_unmasked_sharded_loss_matches(self):
+        from jax.sharding import PartitionSpec as P
+
+        from pointnet2_scannet_tpu.engine.loss import (
+            weighted_cross_entropy,
+            weighted_cross_entropy_sharded,
+        )
+
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(10)
+        logits = rng.normal(size=(B, 64, 20)).astype(np.float32)
+        labels = rng.integers(0, 20, (B, 64)).astype(np.int32)
+        weights = rng.uniform(0.5, 2.0, (B, 64)).astype(np.float32)
+        want = float(
+            weighted_cross_entropy(
+                jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(weights)
+            )
+        )
+        fn = jax.jit(
+            jax.shard_map(
+                lambda lo, la, w: weighted_cross_entropy_sharded(
+                    lo, la, w, None, "dp"
+                ),
+                mesh=mesh,
+                in_specs=(P("dp"), P("dp"), P("dp")),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+        got = float(fn(logits, labels, weights))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
