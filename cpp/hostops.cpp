@@ -104,6 +104,11 @@ int64_t tile_columns(const float* xyz, int64_t n,
                      double L, double tol,
                      int64_t nx, int64_t ny,
                      int64_t* counts, int64_t* members) {
+  // The bi±1/bj±1 neighbor scan and the caller's 4n `members` capacity are
+  // only valid for tol < L/2 (a column's ±tol-expanded width stays < 2L, so a
+  // point lands in at most 2 columns per axis). Refuse wider tolerances —
+  // the caller falls back to the exact O(nx*ny*n) path.
+  if (!(tol * 2.0 < L)) return -1;
   const double c0 = (double)coordmin[0];
   const double c1 = (double)coordmin[1];
   const double zlo = (double)coordmin[2] - tol;

@@ -219,7 +219,7 @@ class WholeSceneEvaluator:
         fwd_idx, update_slot = self._build_indexed(W, n_pad, C)
         stack = jnp.zeros((W, n_pad, C), jnp.float32)
 
-        scenes: list[dict] = []  # arrival order; completed in order too
+        active: list[dict] = []  # scenes with columns still in flight/buffered
         futures: list = []
         chunks: list[np.ndarray] = []  # (n, npoints) i32 global index pieces
         assigns: list[tuple[dict, int, int, int]] = []  # (scene, s0, b0, n)
@@ -243,6 +243,12 @@ class WholeSceneEvaluator:
                             scene["preds"],
                         )
                     )
+                    # release the scene's host arrays: the submitted call holds
+                    # its own references, so the pipeline's working set stays
+                    # O(active scenes), not O(val set) (~5 MB/scene otherwise)
+                    active.remove(scene)
+                    for k in ("coords", "labels", "weights", "preds"):
+                        scene[k] = None
 
         def dispatch(pool, flush: bool = False):
             nonlocal buffered, chunks, assigns
@@ -300,10 +306,7 @@ class WholeSceneEvaluator:
                 # slot reuse safety: nothing buffered or in flight may still
                 # reference the scene being evicted from this slot
                 evicted = seq - W
-                if evicted >= 0 and any(
-                    sc["seq"] <= evicted and sc["remaining"] > 0
-                    for sc in scenes
-                ):
+                if evicted >= 0 and any(sc["seq"] <= evicted for sc in active):
                     dispatch(pool, flush=True)
                     while inflight:
                         drain_oldest(pool)
@@ -323,7 +326,7 @@ class WholeSceneEvaluator:
                     "preds": np.empty((S, col_idx.shape[1]), np.int64),
                     "remaining": S,
                 }
-                scenes.append(scene)
+                active.append(scene)
                 chunks.append((col_idx + slot * n_pad).astype(np.int32))
                 assigns.append((scene, 0, 0, S))
                 buffered += S

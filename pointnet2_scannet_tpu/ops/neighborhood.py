@@ -105,8 +105,9 @@ def group_points(
     flat = idx.reshape(B, M * K)
     from pointnet2_scannet_tpu.ops.tuning import ops_config
 
-    # an explicit use_mxu=True takes precedence over the vmem auto-path
-    use_vmem = use_mxu is not True and (
+    # explicit use_mxu=True pins the MXU kernel, explicit False pins the
+    # plain XLA gather (no custom kernel at all); only None auto-selects
+    use_vmem = use_mxu is None and (
         ops_config.vmem_gather
         if ops_config.vmem_gather is not None
         else _on_tpu()

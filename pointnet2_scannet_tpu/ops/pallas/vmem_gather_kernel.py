@@ -138,11 +138,14 @@ def _vjp_bwd(interpret, res, g):
             # exact 3x-bf16-split one-hot MXU matmul scatter — ~2x XLA's
             # scatter-add at the SA shapes (see gather_kernel.mxu_scatter_add)
             return gk.mxu_scatter_add(idx, g, n), None
-    dsrc = jnp.zeros((B, n, C), g.dtype)
+    # accumulate in f32 and round once at the end — matches the MXU scatter
+    # path above (bf16 accumulation loses low bits on many-neighbor scatters)
+    acc_dtype = jnp.float32 if g.dtype == jnp.bfloat16 else g.dtype
+    dsrc = jnp.zeros((B, n, C), acc_dtype)
     dsrc = dsrc.at[
         jnp.arange(B, dtype=idx.dtype)[:, None], idx, :
-    ].add(g)
-    return dsrc, None
+    ].add(g.astype(acc_dtype))
+    return dsrc.astype(g.dtype), None
 
 
 vmem_gather.defvjp(_vjp_fwd, _vjp_bwd)

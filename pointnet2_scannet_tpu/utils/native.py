@@ -120,14 +120,17 @@ def tile_columns(
     xyz = np.ascontiguousarray(xyz, np.float32)
     coordmin = np.ascontiguousarray(coordmin, np.float32)
     n = len(xyz)
-    if lib is not None:
+    # the native kernel's ±1-bin scan and 4n member capacity require
+    # tol < L/2; wider tolerances take the exact per-column loop below
+    if lib is not None and tol * 2.0 < L:
         counts = np.empty(nx * ny, np.int64)
         members = np.empty(max(4 * n, 16), np.int64)
         total = lib.tile_columns(
             xyz, n, coordmin, ctypes.c_float(zextent),
             ctypes.c_double(L), ctypes.c_double(tol), nx, ny, counts, members,
         )
-        return counts.reshape(nx, ny), members[:total]
+        if total >= 0:
+            return counts.reshape(nx, ny), members[:total]
     # numpy fallback: the reference's per-column mask loop (float64 bounds,
     # exactly like `coordmin + [i*L, ...]` promotes)
     cmin = coordmin.astype(np.float64)
