@@ -37,6 +37,8 @@ from pointnet2_scannet_tpu.parallel.mesh import batch_sharding, make_mesh
 from pointnet2_scannet_tpu.parallel.step import (
     make_parallel_eval_step,
     make_parallel_train_step,
+    make_shardmap_eval_step,
+    make_shardmap_train_step,
 )
 from pointnet2_scannet_tpu.utils.eta import decode_eta
 
@@ -100,8 +102,52 @@ class Solver:
         sample = np.zeros((1, config.data.npoints, c), np.float32)
         self.state = ts.create_train_state(model, init_rng, sample, tx)
 
-        self._train_step = make_parallel_train_step(self.mesh, num_classes=num_classes)
-        self._eval_step = make_parallel_eval_step(self.mesh, num_classes=num_classes)
+        # parallel strategy: on a dp-only multi-device mesh the production
+        # path is the explicit shard_map step — GSPMD treats pallas_call as an
+        # opaque custom call it cannot partition, so the pjit step would
+        # all-gather the batch around every geometry kernel and run them
+        # replicated on a real multi-chip mesh (parallel/step.py:110-127).
+        # Requires the model built with bn_axis_name=<dp axis> so train-time
+        # BN normalizes over the global batch; dp x tp meshes keep pjit/GSPMD.
+        dp_axis = self.mesh.axis_names[0] if len(self.mesh.axis_names) == 1 else None
+        model_bn_axis = getattr(model, "bn_axis_name", None)
+        if self.mesh.size > 1 and dp_axis is not None and model_bn_axis == dp_axis:
+            self.parallel_strategy = "shard_map_dp"
+            self._train_step = make_shardmap_train_step(
+                self.mesh, num_classes=num_classes, axis_name=dp_axis
+            )
+            self._eval_step = make_shardmap_eval_step(
+                self.mesh, num_classes=num_classes, axis_name=dp_axis
+            )
+        else:
+            if self.mesh.size > 1 and dp_axis is not None and model_bn_axis is None:
+                print(
+                    "WARNING: dp-only multi-device mesh but the model was built "
+                    "without bn_axis_name — falling back to the pjit step, which "
+                    "replicates the Pallas geometry kernels on real multi-chip "
+                    "meshes. Build the model with bn_axis_name="
+                    f"'{dp_axis}' to enable the shard_map step.",
+                    flush=True,
+                )
+            elif self.mesh.size > 1 and model_bn_axis is not None and model_bn_axis != dp_axis:
+                raise ValueError(
+                    f"model bn_axis_name={model_bn_axis!r} does not match the "
+                    f"mesh axes {self.mesh.axis_names}; build the model with "
+                    "bn_axis_name equal to the dp axis (or None for pjit)"
+                )
+            elif self.mesh.size == 1 and model_bn_axis is not None:
+                raise ValueError(
+                    "model built with bn_axis_name but the mesh has one device; "
+                    "BatchNorm's pmean needs a mapped axis — build the model "
+                    "with bn_axis_name=None for single-device runs"
+                )
+            self.parallel_strategy = "pjit" if self.mesh.size > 1 else "single"
+            self._train_step = make_parallel_train_step(
+                self.mesh, num_classes=num_classes
+            )
+            self._eval_step = make_parallel_eval_step(
+                self.mesh, num_classes=num_classes
+            )
         self.num_classes = num_classes
 
         self.logger = ScalarLogger(self.output_dir)
@@ -370,11 +416,19 @@ class WholeSceneSolver(Solver):
         from pointnet2_scannet_tpu.parallel.step import (
             make_parallel_accum_step,
             make_parallel_apply_accum,
+            make_shardmap_accum_step,
         )
 
-        self._accum_step = make_parallel_accum_step(
-            self.mesh, num_classes=self.num_classes
-        )
+        if self.parallel_strategy == "shard_map_dp":
+            self._accum_step = make_shardmap_accum_step(
+                self.mesh,
+                num_classes=self.num_classes,
+                axis_name=self.mesh.axis_names[0],
+            )
+        else:
+            self._accum_step = make_parallel_accum_step(
+                self.mesh, num_classes=self.num_classes
+            )
         self._apply_accum = make_parallel_apply_accum(self.mesh)
 
     def _make_loaders(self, train_dataset, val_dataset, tc):

@@ -138,6 +138,7 @@ def grad_accum_step(
     micro_idx: jnp.ndarray,
     *,
     num_classes: int,
+    axis_name: str | None = None,
 ):
     """One micro-batch of a gradient-accumulated step (whole-scene training,
     the reference's --use_wholescene path: ONE optimizer update per scene,
@@ -147,17 +148,27 @@ def grad_accum_step(
     Returns (grads_of_loss_SUM, new_batch_stats, loss_sum, point_count, cm);
     the caller accumulates across micro-batches and applies one update with
     grads scaled by 1/total_points (grad of the mean).
+
+    axis_name: set when running inside shard_map over a dp mesh axis — the
+    sum-gradients/loss/count/cm are psum'd to global values (the model must
+    then be built with bn_axis_name=axis_name, like train_step).
     """
     rng = jax.random.fold_in(jax.random.fold_in(dropout_rng, state.step), micro_idx)
+    if axis_name is not None:
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
     row_mask = batch.get("row_mask")
     if row_mask is None:
         row_mask = jnp.ones(batch["labels"].shape[0], jnp.float32)
 
     def loss_sum_fn(params):
+        # row_mask flows into the model so BatchNorm's batch statistics
+        # exclude the zero-padded trailing rows exactly (MaskedBatchNorm) —
+        # matching the reference's unpadded ragged micro-batches
         logits, mutated = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
             batch["points"],
             train=True,
+            row_mask=row_mask,
             rngs={"dropout": rng},
             mutable=["batch_stats"],
         )
@@ -171,6 +182,14 @@ def grad_accum_step(
     preds = jnp.argmax(logits, axis=-1)
     cm = confusion_matrix(preds, batch["labels"], num_classes, row_mask)
     count = jnp.sum(row_mask) * batch["labels"].shape[-1]
+    if axis_name is not None:
+        # sum-loss gradients: each shard's grad of ITS loss_sum contribution;
+        # the global sum-gradient is the psum (batch_stats already sync via
+        # the model's bn_axis_name pmean, so they come out replicated)
+        grads = jax.lax.psum(grads, axis_name)
+        loss_sum = jax.lax.psum(loss_sum, axis_name)
+        count = jax.lax.psum(count, axis_name)
+        cm = jax.lax.psum(cm, axis_name)
     return grads, new_batch_stats, loss_sum, count, cm
 
 
@@ -185,18 +204,34 @@ def eval_step(
     batch: dict[str, jnp.ndarray],
     *,
     num_classes: int,
+    axis_name: str | None = None,
 ) -> dict[str, jnp.ndarray]:
-    """Forward-only validation step (running BN stats, no dropout)."""
+    """Forward-only validation step (running BN stats, no dropout).
+
+    axis_name: set inside shard_map over a dp axis — loss/confusion psum to
+    global-batch values; preds stay batch-sharded. (BN uses running averages
+    here, so no cross-device stat sync is involved.)"""
     logits = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats},
         batch["points"],
         train=False,
     )
-    loss = weighted_cross_entropy(
-        logits, batch["labels"], batch["weights"], batch.get("row_mask")
-    )
+    if axis_name is None:
+        loss = weighted_cross_entropy(
+            logits, batch["labels"], batch["weights"], batch.get("row_mask")
+        )
+    else:
+        loss = weighted_cross_entropy_sharded(
+            logits,
+            batch["labels"],
+            batch["weights"],
+            batch.get("row_mask"),
+            axis_name,
+        )
     preds = jnp.argmax(logits, axis=-1)
     cm = confusion_matrix(preds, batch["labels"], num_classes, batch.get("row_mask"))
+    if axis_name is not None:
+        cm = jax.lax.psum(cm, axis_name)
     return {"loss": loss, "confusion": cm, "preds": preds}
 
 

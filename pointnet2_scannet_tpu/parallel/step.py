@@ -147,3 +147,56 @@ def make_shardmap_train_step(
         check_vma=False,  # outputs are replicated by construction (psums)
     )
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def make_shardmap_eval_step(mesh: Mesh, *, num_classes: int, axis_name: str = "dp"):
+    """Forward-only eval step as an explicit shard_map (same rationale as
+    make_shardmap_train_step: each chip runs its own Pallas geometry kernels
+    on its batch shard instead of GSPMD all-gathering around them).
+    loss/confusion psum to global values; preds come back batch-sharded."""
+    from pointnet2_scannet_tpu.engine import train_state as ts
+
+    from jax.sharding import PartitionSpec as P
+
+    if mesh.size == 1:
+        return jax.jit(functools.partial(ts.eval_step, num_classes=num_classes))
+    assert mesh.axis_names == (axis_name,), (
+        f"shard_map eval step wants a 1-axis ({axis_name},) mesh, got "
+        f"{mesh.axis_names}"
+    )
+    step = functools.partial(ts.eval_step, num_classes=num_classes, axis_name=axis_name)
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs={"loss": P(), "confusion": P(), "preds": P(axis_name)},
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def make_shardmap_accum_step(mesh: Mesh, *, num_classes: int, axis_name: str = "dp"):
+    """Gradient-accumulation micro-step (whole-scene training) as an explicit
+    shard_map: per-shard sum-gradients/loss/count/cm psum'd to global values;
+    batch_stats sync through the model's bn_axis_name pmean."""
+    from pointnet2_scannet_tpu.engine import train_state as ts
+
+    from jax.sharding import PartitionSpec as P
+
+    if mesh.size == 1:
+        return jax.jit(functools.partial(ts.grad_accum_step, num_classes=num_classes))
+    assert mesh.axis_names == (axis_name,), (
+        f"shard_map accum step wants a 1-axis ({axis_name},) mesh, got "
+        f"{mesh.axis_names}"
+    )
+    step = functools.partial(
+        ts.grad_accum_step, num_classes=num_classes, axis_name=axis_name
+    )
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

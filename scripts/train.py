@@ -135,6 +135,14 @@ def train(args) -> None:
 
     import jax.numpy as jnp
 
+    from pointnet2_scannet_tpu.parallel.mesh import make_mesh
+
+    # build the mesh BEFORE the model: on a dp-only multi-device mesh the
+    # model gets bn_axis_name=<dp axis> so the Solver selects the shard_map
+    # step (each chip traces its own Pallas geometry kernels on its batch
+    # shard; see parallel/step.py make_shardmap_train_step)
+    mesh = make_mesh(cfg.train.num_devices, batch_size=cfg.train.batch_size)
+    bn_axis = mesh.axis_names[0] if mesh.size > 1 else None
     model = models.get_model(
         num_classes=cfg.model.num_classes,
         is_msg=cfg.model.is_msg,
@@ -142,8 +150,10 @@ def train(args) -> None:
         use_xyz=cfg.model.use_xyz,
         bn=cfg.model.bn,
         dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None,
+        bn_axis_name=bn_axis,
     )
-    solver = solver_cls(model, train_ds, val_ds, cfg, output_dir)
+    solver = solver_cls(model, train_ds, val_ds, cfg, output_dir, mesh=mesh)
+    print(f"parallel strategy: {solver.parallel_strategy} (mesh size {mesh.size})")
 
     info = {
         **vars(args),
