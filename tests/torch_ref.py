@@ -56,22 +56,32 @@ def build_ext_shim():
         return torch.from_numpy(out)
 
     def three_nn(unknown, known):
-        dist2, idx = oracles.three_nn_fast(_np(unknown), _np(known))
-        return torch.from_numpy(dist2.astype(np.float32)), torch.from_numpy(idx)
+        # neighbor SELECTION follows the CUDA contract oracle (f32 running
+        # top-3); the distance VALUES are recomputed exactly in the input
+        # dtype so float64 models stay float64 end to end (the multi-step
+        # trajectory parity test needs f64-clean gradients on this side)
+        u, k = _np(unknown), _np(known)
+        _, idx = oracles.three_nn_fast(u, k)
+        B, n, _ = idx.shape
+        sel = np.stack([k[b][idx[b]] for b in range(B)])  # (B, n, 3, 3)
+        dist2 = np.sum((u[:, :, None, :] - sel) ** 2, axis=-1).astype(u.dtype)
+        return torch.from_numpy(dist2), torch.from_numpy(idx)
 
     def three_interpolate(features, idx, weight):
-        f = _np(features)  # (B,C,m) -> oracle wants channels-last
-        out = oracles.three_interpolate_oracle_fast(
-            np.swapaxes(f, 1, 2), _np(idx).astype(np.int64), _np(weight)
-        )
-        return torch.from_numpy(np.swapaxes(out, 1, 2).astype(np.float32).copy())
+        f = _np(features)  # (B, C, m)
+        i = _np(idx).astype(np.int64)  # (B, n, 3)
+        w = _np(weight)  # (B, n, 3)
+        B, C, _ = f.shape
+        gath = np.stack([f[b][:, i[b]] for b in range(B)])  # (B, C, n, 3)
+        out = np.einsum("bcnk,bnk->bcn", gath, w.astype(f.dtype))
+        return torch.from_numpy(np.ascontiguousarray(out))
 
     def three_interpolate_grad(grad_out, idx, weight, m):
         g = _np(grad_out)  # (B,C,n)
         i = _np(idx).astype(np.int64)  # (B,n,3)
-        w = _np(weight)  # (B,n,3)
+        w = _np(weight).astype(g.dtype)  # (B,n,3)
         B, C, _ = g.shape
-        out = np.zeros((B, m, C), np.float32)
+        out = np.zeros((B, m, C), g.dtype)
         for b in range(B):
             for k in range(3):
                 np.add.at(out[b], i[b, :, k], (w[b, :, k, None] * g[b].T))
@@ -88,7 +98,7 @@ def build_ext_shim():
         g = _np(grad_out)  # (B,C,M,K)
         i = _np(idx).astype(np.int64)  # (B,M,K)
         B, C = g.shape[:2]
-        out = np.zeros((B, N, C), np.float32)
+        out = np.zeros((B, N, C), g.dtype)
         for b in range(B):
             np.add.at(out[b], i[b].reshape(-1), g[b].reshape(C, -1).T)
         return torch.from_numpy(np.swapaxes(out, 1, 2).copy())
