@@ -20,6 +20,75 @@ from collections.abc import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+class MaskedBatchNorm(nn.Module):
+    """Train-mode BatchNorm whose batch statistics weight each leading-axis
+    row by a 0/1 mask — zero-padded batch rows are excluded EXACTLY, so the
+    stats equal what an unpadded ragged batch of the real rows would produce
+    (the reference's torch.split micro-batches are ragged and have no padding
+    bias, lib/solver.py:155-169).
+
+    Variable layout matches nn.BatchNorm (params scale/bias, batch_stats
+    mean/var), so a model initialized through the plain-BatchNorm path can be
+    applied through this one: PointwiseMLP routes here only when a row_mask
+    is passed with train=True.
+
+    axis_name: inside shard_map the weighted sums and the mask total are
+    psum'd, so stats are global-batch-correct even when shards hold UNEQUAL
+    numbers of real rows (flax's pmean-of-means would weight shards equally).
+    """
+
+    momentum: jnp.ndarray | float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarray:
+        feat = x.shape[-1]
+        red_axes = tuple(range(x.ndim - 1))
+        # stats in float32 like flax's half-precision promotion
+        xs = x.astype(jnp.float32)
+        w = row_mask.astype(jnp.float32).reshape(
+            (x.shape[0],) + (1,) * (x.ndim - 1)
+        )
+        spatial = float(np.prod(x.shape[1:-1])) if x.ndim > 2 else 1.0
+        wsum = jnp.sum(row_mask.astype(jnp.float32)) * spatial
+        s1 = jnp.sum(xs * w, axis=red_axes)
+        if self.axis_name is not None:
+            wsum = lax.psum(wsum, self.axis_name)
+            s1 = lax.psum(s1, self.axis_name)
+        wsum = jnp.maximum(wsum, 1e-6)
+        mean = s1 / wsum
+        # TWO-PASS variance (sum of squared deviations), not E[x^2]-E[x]^2:
+        # a tail micro-batch can resample a handful of unique points into a
+        # near-CONSTANT channel, where the single-pass form cancels
+        # catastrophically (error ~ mean^2 * 2^-23 can exceed eps and go
+        # negative -> rsqrt = NaN). torch BN is two-pass as well.
+        s2 = jnp.sum(jnp.square(xs - mean) * w, axis=red_axes)
+        if self.axis_name is not None:
+            s2 = lax.psum(s2, self.axis_name)
+        var = jnp.maximum(s2 / wsum, 0.0)
+
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+
+        y = (xs - mean) * lax.rsqrt(var + self.epsilon) * scale + bias
+        out_dtype = self.dtype if self.dtype is not None else x.dtype
+        return y.astype(out_dtype)
 
 
 class PointwiseMLP(nn.Module):
@@ -46,12 +115,17 @@ class PointwiseMLP(nn.Module):
         x: jnp.ndarray,
         train: bool = False,
         bn_momentum: jnp.ndarray | float | None = None,
+        row_mask: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """bn_momentum overrides the running-stat momentum (flax convention:
         new = m*old + (1-m)*batch) for THIS call; pass a traced scalar from
         the train step to schedule it per epoch without recompiling — the
         TPU-native equivalent of the reference BNMomentumScheduler mutating
-        module attributes between epochs (pytorch_utils.py:271-297)."""
+        module attributes between epochs (pytorch_utils.py:271-297).
+
+        row_mask: optional (B,) 0/1 real-row marks — with train=True the BN
+        batch statistics exclude padded rows exactly (MaskedBatchNorm; the
+        whole-scene grad-accum path pads its trailing micro-batch)."""
         n = len(self.widths)
         for i, w in enumerate(self.widths):
             x = nn.Dense(
@@ -62,14 +136,23 @@ class PointwiseMLP(nn.Module):
                 name=f"dense_{i}",
             )(x)
             if self.bn:
-                x = nn.BatchNorm(
-                    use_running_average=not train,
-                    momentum=0.9 if bn_momentum is None else bn_momentum,
-                    epsilon=1e-5,
-                    dtype=self.dtype,
-                    axis_name=self.bn_axis_name,
-                    name=f"bn_{i}",
-                )(x)
+                if row_mask is not None and train:
+                    x = MaskedBatchNorm(
+                        momentum=0.9 if bn_momentum is None else bn_momentum,
+                        epsilon=1e-5,
+                        dtype=self.dtype,
+                        axis_name=self.bn_axis_name,
+                        name=f"bn_{i}",
+                    )(x, row_mask)
+                else:
+                    x = nn.BatchNorm(
+                        use_running_average=not train,
+                        momentum=0.9 if bn_momentum is None else bn_momentum,
+                        epsilon=1e-5,
+                        dtype=self.dtype,
+                        axis_name=self.bn_axis_name,
+                        name=f"bn_{i}",
+                    )(x)
             if self.last_act or i < n - 1:
                 x = nn.relu(x)
         return x

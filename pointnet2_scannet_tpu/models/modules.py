@@ -43,6 +43,7 @@ class SetAbstraction(nn.Module):
         features: jnp.ndarray | None,
         train: bool = False,
         bn_momentum=None,
+        row_mask: jnp.ndarray | None = None,
     ) -> tuple[jnp.ndarray | None, jnp.ndarray, jnp.ndarray | None]:
         """(B, N, 3), (B, N, C) -> new_xyz (B, npoint, 3), feats (B, npoint, C').
 
@@ -79,7 +80,7 @@ class SetAbstraction(nn.Module):
                 grouped = ops.group_all(xyz, features, use_xyz=self.use_xyz)
             h = PointwiseMLP(
                 tuple(widths), bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name=f"mlp_{s}"
-            )(grouped, train, bn_momentum)
+            )(grouped, train, bn_momentum, row_mask)
             # max over the neighborhood/sample axis, like F.max_pool2d over
             # nsample (pointnet2_modules.py:65-71)
             scale_outs.append(jnp.max(h, axis=2))
@@ -132,6 +133,7 @@ class FeaturePropagation(nn.Module):
         known_feats: jnp.ndarray,
         train: bool = False,
         bn_momentum=None,
+        row_mask: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """(B, n, 3), (B, m, 3), (B, n, C1), (B, m, C2) -> (B, n, mlp[-1])."""
         if known is not None:
@@ -174,7 +176,7 @@ class FeaturePropagation(nn.Module):
             h = jnp.concatenate([interpolated, unknown_feats], axis=-1)
         else:
             h = interpolated
-        return PointwiseMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="mlp")(h, train, bn_momentum)
+        return PointwiseMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="mlp")(h, train, bn_momentum, row_mask)
 
 
 class SetAbstractionVotes(nn.Module):

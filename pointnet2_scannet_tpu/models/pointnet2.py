@@ -117,10 +117,16 @@ class PointNet2SemSeg(nn.Module):
         pc: jnp.ndarray,
         train: bool = False,
         bn_momentum: jnp.ndarray | float | None = None,
+        row_mask: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """bn_momentum (flax convention, optional traced scalar) schedules the
         BatchNorm running-stat momentum per step/epoch without recompiling —
-        pair with models.layers.BNMomentumScheduler."""
+        pair with models.layers.BNMomentumScheduler.
+
+        row_mask: optional (B,) 0/1 real-row marks; with train=True the BN
+        batch statistics exclude padded rows exactly (the whole-scene
+        grad-accum path pads its trailing micro-batch — the reference's
+        ragged torch.split batches have no padding, lib/solver.py:155-169)."""
         spec = self.spec
         xyz = pc[..., :3]
         features = pc[..., 3:] if pc.shape[-1] > 3 else None
@@ -138,7 +144,7 @@ class PointNet2SemSeg(nn.Module):
                 dtype=self.dtype,
                 bn_axis_name=self.bn_axis_name,
                 name=f"sa_{lvl}",
-            )(l_xyz[lvl], l_feats[lvl], train, bn_momentum)
+            )(l_xyz[lvl], l_feats[lvl], train, bn_momentum, row_mask)
             l_xyz.append(new_xyz)
             l_feats.append(new_feats)
 
@@ -150,17 +156,17 @@ class PointNet2SemSeg(nn.Module):
                 dtype=self.dtype,
                 bn_axis_name=self.bn_axis_name,
                 name=f"fp_{lvl}",
-            )(l_xyz[lvl], l_xyz[lvl + 1], l_feats[lvl], l_feats[lvl + 1], train, bn_momentum)
+            )(l_xyz[lvl], l_xyz[lvl + 1], l_feats[lvl], l_feats[lvl + 1], train, bn_momentum, row_mask)
 
         # classifier head (pointnet2_semseg.py:73-80)
         h = PointwiseMLP(spec.cls_fc, bn=spec.bn, dtype=self.dtype,
                 bn_axis_name=self.bn_axis_name, name="cls_fc")(
-            l_feats[0], train, bn_momentum
+            l_feats[0], train, bn_momentum, row_mask
         )
         h = nn.Dropout(rate=spec.dropout, deterministic=not train)(h)
         logits = PointwiseMLP(
             (spec.num_classes,), bn=spec.bn, last_act=False, dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
             name="cls_out",
-        )(h, train, bn_momentum)
+        )(h, train, bn_momentum, row_mask)
         return logits.astype(jnp.float32)
