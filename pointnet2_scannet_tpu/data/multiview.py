@@ -14,9 +14,15 @@ scripts/project_multiview_features.py):
 Redesign for TPU/XLA: the reference emits dynamic-length packed index vectors
 `[count, idx...]` (projection.py:249-254) — here each frame yields a FIXED-shape
 (N,) bool valid mask + (N,) int32 pixel index, so the whole correspondence
-computation is one jit/vmap-able program with static shapes. The reference's
-explicit frustum cull (projection.py:122-155) is subsumed by the pixel-bounds
-and depth-range checks below (same predicate up to corner rounding).
+computation is one jit/vmap-able program with static shapes. The selection
+predicate replicates the reference EXACTLY (tests/test_projection_parity.py
+compares pair-for-pair against lib/projection.py run in-process), including
+its quantized frustum cull: plane dot products are rounded to 0.01 before the
+sign test (projection.py:142-144), and the frustum's front-plane normal is
+tiny at depth_min=0.1 (the dmin cross-section is ~0.11 m x 0.08 m), so the
+quantization rejects EVERYTHING closer than ~0.65 m from the camera plus a
+band inside each frustum face of width 0.005/|normal| — a reference quirk
+that shaped the published multiview features, reproduced here deliberately.
 """
 
 from __future__ import annotations
@@ -49,6 +55,41 @@ class CameraConfig:
     accuracy: float = DEFAULT_ACCURACY
 
 
+def _frustum_mask(
+    points: jnp.ndarray, camera_to_world: jnp.ndarray, cam: CameraConfig
+) -> jnp.ndarray:
+    """The reference's quantized frustum cull, replicated exactly
+    (projection.py:28-46 corner order, :79-120 plane normals, :122-155
+    round(dot*100)/100 < 0 sign test). See the module docstring for the
+    near-camera cull this quantization implies."""
+    corners = []
+    for d in (cam.depth_min, cam.depth_max):
+        for ux, uy in (
+            (0, 0),
+            (cam.width - 1, 0),
+            (cam.width - 1, cam.height - 1),
+            (0, cam.height - 1),
+        ):
+            corners.append(
+                ((ux - cam.cx) / cam.fx * d, (uy - cam.cy) / cam.fy * d, d, 1.0)
+            )
+    c = (jnp.asarray(corners, jnp.float32) @ camera_to_world.T)[:, :3]  # (8, 3)
+    normals = jnp.stack(
+        [
+            jnp.cross(c[3] - c[0], c[1] - c[0]),  # front
+            jnp.cross(c[2] - c[1], c[5] - c[1]),  # right
+            jnp.cross(c[3] - c[2], c[6] - c[2]),  # roof
+            jnp.cross(c[0] - c[3], c[7] - c[3]),  # left
+            jnp.cross(c[1] - c[0], c[4] - c[0]),  # bottom
+            jnp.cross(c[6] - c[5], c[4] - c[5]),  # back
+        ]
+    )  # (6, 3)
+    d1 = (points - c[2]) @ normals[:3].T  # planes 0-2 anchor corner 2
+    d2 = (points - c[4]) @ normals[3:].T  # planes 3-5 anchor corner 4
+    dots = jnp.concatenate([d1, d2], axis=1)  # (N, 6)
+    return jnp.all(jnp.round(dots * 100.0) / 100.0 < 0, axis=1)
+
+
 def compute_correspondence(
     points: jnp.ndarray,
     depth: jnp.ndarray,
@@ -57,15 +98,20 @@ def compute_correspondence(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Point->pixel correspondence for one frame (jittable, fixed shapes).
 
+    The predicate chain is the reference's compute_projection
+    (projection.py:191-256) verbatim: quantized frustum cull -> rounded-pixel
+    bounds -> pixel-depth range -> depth consistency. The point's own camera
+    depth is NOT range-tested directly — the quantized front/back planes do
+    that, like the reference.
+
     Args:
       points: (N, 3) world coordinates.
       depth: (H, W) depth map at the feature resolution.
       camera_to_world: (4, 4) camera pose.
 
     Returns:
-      (valid, pix): (N,) bool — point projects into the frame, within the
-      depth range, and consistent with the measured depth; (N,) int32 linear
-      pixel index y * W + x (0 where invalid).
+      (valid, pix): (N,) bool — point passes the full predicate chain;
+      (N,) int32 linear pixel index y * W + x (0 where invalid).
     """
     world_to_camera = jnp.linalg.inv(camera_to_world)
     ones = jnp.ones((points.shape[0], 1), points.dtype)
@@ -73,12 +119,13 @@ def compute_correspondence(
     cam_pts = pc @ world_to_camera.T  # (N, 4)
     x, y, z = cam_pts[:, 0], cam_pts[:, 1], cam_pts[:, 2]
 
+    in_frustum = _frustum_mask(points, camera_to_world, cam)
+
     # pinhole projection with rounding to pixel centers (projection.py:228-230)
     px = jnp.round(x * cam.fx / z + cam.cx).astype(jnp.int32)
     py = jnp.round(y * cam.fy / z + cam.cy).astype(jnp.int32)
 
     in_image = (px >= 0) & (py >= 0) & (px < cam.width) & (py < cam.height)
-    in_depth_range = (z >= cam.depth_min) & (z <= cam.depth_max)
     pix = jnp.where(in_image, py * cam.width + px, 0)
 
     depth_flat = depth.reshape(-1)
@@ -88,7 +135,7 @@ def compute_correspondence(
         & (d_at_pix <= cam.depth_max)
         & (jnp.abs(d_at_pix - z) <= cam.accuracy)
     )
-    valid = in_image & in_depth_range & consistent
+    valid = in_frustum & in_image & consistent
     return valid, jnp.where(valid, pix, 0).astype(jnp.int32)
 
 
