@@ -100,6 +100,13 @@ class TrainConfig:
     seed: int = 0
     no_weighting: bool = False
     num_devices: int | None = None  # data-parallel width (None = all devices)
+    # shuffle scene order across train batches each epoch. Default False for
+    # PARITY: the reference DataLoader is built without shuffle
+    # (scripts/train.py:26), so epoch-over-epoch batch COMPOSITION is the
+    # same scene-sets every epoch (chunks resample, grouping doesn't) — a
+    # shared quirk and the first suspect if real-data runs undershoot the
+    # mIoU gates. --shuffle breaks the grouping.
+    shuffle: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -85,10 +85,20 @@ class WholeSceneEvaluator:
         *,
         batch_size: int = 32,
         num_classes: int = NUM_CLASSES,
+        ring_slots: int = 4,
+        queue_depth: int = 2,
     ):
+        """ring_slots: resident scene slots in the device ring (W). A scene
+        stack wider than ring_slots x batch_size columns forces a pipeline
+        FLUSH when its slot is reclaimed (correct but a silent perf cliff on
+        very large scenes — raise ring_slots, at n_pad x C x 4 bytes of HBM
+        per slot). queue_depth: in-flight device batches. Both are exposed on
+        the eval/visualize CLIs as --eval_ring / --eval_depth."""
         self.variables = variables
         self.batch_size = batch_size
         self.num_classes = num_classes
+        self.ring_slots = ring_slots
+        self.queue_depth = queue_depth
 
         self._apply_fn = apply_fn
 
@@ -212,8 +222,8 @@ class WholeSceneEvaluator:
         threading.Thread(target=producer, daemon=True).start()
 
         B = self.batch_size
-        depth = 2  # in-flight device batches
-        W = 4  # resident scene slots on device
+        depth = self.queue_depth  # in-flight device batches
+        W = self.ring_slots  # resident scene slots on device
         n_pad = dataset.max_points()
         C = dataset.cfg.input_channels + 3
         fwd_idx, update_slot = self._build_indexed(W, n_pad, C)

@@ -162,7 +162,8 @@ class Solver:
         # BatchNorm batch statistics with zero rows); val: pad it to the one
         # compiled shape and mask the pad rows out of loss + metrics.
         self.train_loader = BatchLoader(
-            train_dataset, tc.batch_size, seed=tc.seed, drop_last=True
+            train_dataset, tc.batch_size, seed=tc.seed, drop_last=True,
+            shuffle=tc.shuffle,
         )
         self.val_loader = (
             BatchLoader(val_dataset, tc.batch_size, seed=tc.seed, pad_last=True)

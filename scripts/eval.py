@@ -57,7 +57,11 @@ def evaluate(args) -> None:
     )
     variables = restore_params_only(run_dir, args.checkpoint)
     evaluator = WholeSceneEvaluator(
-        model.apply, variables, batch_size=args.batch_size
+        model.apply,
+        variables,
+        batch_size=args.batch_size,
+        ring_slots=args.eval_ring,
+        queue_depth=args.eval_depth,
     )
     report = evaluator.evaluate(dataset)
     print()
@@ -74,6 +78,16 @@ def parse_args(argv=None):
     p.add_argument("--val_list", type=str, default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_scenes", type=int, default=2)
+    p.add_argument(
+        "--eval_ring", type=int, default=4,
+        help="resident scene slots in the device ring; scenes wider than "
+        "ring*batch_size columns force pipeline flushes — raise for very "
+        "large scenes (costs HBM per slot)",
+    )
+    p.add_argument(
+        "--eval_depth", type=int, default=2,
+        help="in-flight device batches in the async eval queue",
+    )
     return p.parse_args(argv)
 
 

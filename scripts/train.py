@@ -63,6 +63,7 @@ def build_config(args) -> "RunConfig":
             seed=args.seed,
             no_weighting=args.no_weighting,
             num_devices=args.num_devices,
+            shuffle=args.shuffle,
         ),
     )
 
@@ -203,6 +204,12 @@ def parse_args(argv=None):
     p.add_argument("--use_normal", action="store_true")
     p.add_argument("--use_multiview", action="store_true")
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument(
+        "--shuffle", action="store_true",
+        help="shuffle scene order across train batches each epoch (the "
+        "reference keeps a FIXED order, scripts/train.py:26 — identical "
+        "batch scene-composition every epoch; parity default off)",
+    )
     p.add_argument("--data_dir", type=str, default="data/preprocessed_scenes")
     p.add_argument("--multiview_h5", type=str, default="data/enet_feats.hdf5")
     p.add_argument("--train_list", type=str, default="data/scannetv2_train.txt")

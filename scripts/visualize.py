@@ -57,7 +57,10 @@ def visualize(args) -> None:
         dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None,
     )
     variables = restore_params_only(run_dir, args.checkpoint)
-    evaluator = WholeSceneEvaluator(model.apply, variables, batch_size=args.batch_size)
+    evaluator = WholeSceneEvaluator(
+        model.apply, variables, batch_size=args.batch_size,
+        ring_slots=args.eval_ring, queue_depth=args.eval_depth,
+    )
 
     preds_dir = run_dir / "preds"
     preds_dir.mkdir(exist_ok=True)
@@ -83,6 +86,10 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--eval_ring", type=int, default=4,
+                   help="resident scene slots in the device ring")
+    p.add_argument("--eval_depth", type=int, default=2,
+                   help="in-flight device batches in the async queue")
     return p.parse_args(argv)
 
 

@@ -162,3 +162,24 @@ class TestWholeSceneEvaluator:
         np.testing.assert_allclose(report.point_acc, want.point_acc)
         for a, b in zip(report.scenes, seq):
             np.testing.assert_array_equal(a.point_miou, b.point_miou)
+
+    def test_custom_ring_and_depth_match_default(self):
+        # --eval_ring/--eval_depth (VERDICT r2 #9): non-default ring/queue
+        # sizes change only scheduling, never results
+        store = make_synthetic_store(6, n_points=2_000)
+
+        def run(ring, depth):
+            ds = WholeSceneDataset(
+                store, DataConfig(npoints=128, use_color=True), seed=0
+            )
+            ev = WholeSceneEvaluator(
+                lambda v, pc, train=False: perfect_label_free_apply(pc), {},
+                batch_size=8, ring_slots=ring, queue_depth=depth,
+            )
+            return ev.evaluate(ds, verbose=False)
+
+        base = run(4, 2)
+        for ring, depth in ((2, 1), (6, 3)):
+            got = run(ring, depth)
+            np.testing.assert_allclose(got.point_acc, base.point_acc)
+            np.testing.assert_allclose(got.voxel_miou, base.voxel_miou)
