@@ -7,14 +7,23 @@ FLOPs, MFU) that make the headline checkable.
 Prints ONE JSON line. Headline fields: metric/value/unit/vs_baseline
 (SSG f32 points/sec vs the reference-on-3090 estimate derived in
 BASELINE.md §"Throughput baseline derivation"). Extra fields:
-  step_ms            SSG train-step latency (settled, 20-step mean)
-  model_tflops_fwd   analytic forward matmul FLOPs of the SSG model (TF)
-  mfu                (3 x fwd matmul FLOPs) / step_time / 197e12 — fraction of
-                     the v5e chip's bf16 MXU peak the train step sustains
-                     (backward ~ 2x forward for matmuls; geometry ops and
-                     BN/opt excluded, so this slightly UNDERSTATES true use)
-  msg_points_per_sec MSG config training throughput
-  eval_scenes_per_sec whole-scene evaluator rate on 100k-pt synthetic scenes
+  step_ms              SSG f32 train-step latency (settled, 20-step mean)
+  ssg_bf16_points_per_sec / step_ms_bf16   the bf16 compute-dtype config
+  msg_points_per_sec / msg_bf16_points_per_sec   MSG config throughput
+  model_tflops_fwd     analytic forward matmul FLOPs of the SSG model (TF)
+  mfu_bf16             (3 x fwd matmul FLOPs) / bf16_step_time / 197e12 —
+                       fraction of the v5e bf16 MXU peak the bf16 train step
+                       sustains (matching dtypes: bf16 step over bf16 peak;
+                       backward ~ 2x forward for matmuls; geometry ops and
+                       BN/opt excluded, so this slightly UNDERSTATES true use)
+  mfu_f32_over_bf16_peak  the f32 step against the SAME bf16 peak — NOT a
+                       true f32 MFU (no official v5e f32 peak to divide by);
+                       named to stay honest about the mixed units
+  eval_scenes_per_sec  whole-scene evaluator rate on 100k-pt synthetic scenes
+
+`python bench.py --scale` additionally reports the batch-size scaling study
+(B=64/128, f32+bf16) as extra JSON lines — the data a first real multi-chip
+run needs (DESIGN.md §Batch scaling).
 """
 
 from __future__ import annotations
@@ -61,7 +70,7 @@ def fwd_matmul_flops(spec, B: int, N: int) -> float:
     return f
 
 
-def time_train(model, steps: int = STEPS) -> float:
+def time_train(model, steps: int = STEPS, batch_size: int = BATCH) -> float:
     """Settled seconds per train step."""
     import jax
 
@@ -75,13 +84,13 @@ def time_train(model, steps: int = STEPS) -> float:
 
     mesh = make_mesh()
     rng = np.random.default_rng(0)
-    pc = rng.uniform(0.0, 1.5, size=(BATCH, NPOINTS, 9)).astype(np.float32)
+    pc = rng.uniform(0.0, 1.5, size=(batch_size, NPOINTS, 9)).astype(np.float32)
     tx = ts.make_optimizer(ts.make_lr_schedule(1e-3, 100, 0.7, 100))
     state = ts.create_train_state(model, jax.random.key(0), pc[:1], tx)
     raw_batch = {
         "points": pc,
-        "labels": rng.integers(0, 20, size=(BATCH, NPOINTS)).astype(np.int32),
-        "weights": np.ones((BATCH, NPOINTS), np.float32),
+        "labels": rng.integers(0, 20, size=(batch_size, NPOINTS)).astype(np.int32),
+        "weights": np.ones((batch_size, NPOINTS), np.float32),
     }
     if mesh.size > 1:
         state = jax.device_put(state, replicated(mesh))
@@ -135,10 +144,12 @@ def eval_scenes_per_sec(n_scenes: int = 6) -> float:
     return n_scenes / (time.perf_counter() - t0)
 
 
-def main() -> None:
+def main(scale: bool = False) -> None:
     from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    import jax.numpy as jnp
 
     from pointnet2_scannet_tpu import models
 
@@ -146,13 +157,22 @@ def main() -> None:
     ssg_step_s = time_train(ssg)
     ssg_pps = BATCH * NPOINTS / ssg_step_s
 
+    ssg_bf16 = models.get_model(
+        num_classes=20, is_msg=False, input_channels=6, dtype=jnp.bfloat16
+    )
+    ssg_bf16_step_s = time_train(ssg_bf16)
+    ssg_bf16_pps = BATCH * NPOINTS / ssg_bf16_step_s
+
     msg = models.get_model(num_classes=20, is_msg=True, input_channels=6)
     msg_pps = BATCH * NPOINTS / time_train(msg)
+    msg_bf16 = models.get_model(
+        num_classes=20, is_msg=True, input_channels=6, dtype=jnp.bfloat16
+    )
+    msg_bf16_pps = BATCH * NPOINTS / time_train(msg_bf16)
 
     eps = eval_scenes_per_sec()
 
     flops_fwd = fwd_matmul_flops(ssg.spec, BATCH, NPOINTS)
-    mfu = 3.0 * flops_fwd / ssg_step_s / V5E_BF16_PEAK
     print(
         json.dumps(
             {
@@ -161,14 +181,44 @@ def main() -> None:
                 "unit": "points/sec",
                 "vs_baseline": round(ssg_pps / BASELINE_POINTS_PER_SEC, 3),
                 "step_ms": round(ssg_step_s * 1e3, 2),
-                "model_tflops_fwd": round(flops_fwd / 1e12, 4),
-                "mfu": round(mfu, 4),
+                "step_ms_bf16": round(ssg_bf16_step_s * 1e3, 2),
+                "ssg_bf16_points_per_sec": round(ssg_bf16_pps, 1),
                 "msg_points_per_sec": round(msg_pps, 1),
+                "msg_bf16_points_per_sec": round(msg_bf16_pps, 1),
+                "model_tflops_fwd": round(flops_fwd / 1e12, 4),
+                "mfu_bf16": round(
+                    3.0 * flops_fwd / ssg_bf16_step_s / V5E_BF16_PEAK, 4
+                ),
+                "mfu_f32_over_bf16_peak": round(
+                    3.0 * flops_fwd / ssg_step_s / V5E_BF16_PEAK, 4
+                ),
                 "eval_scenes_per_sec": round(eps, 3),
             }
         )
     )
 
+    if scale:
+        # batch-size scaling study (DESIGN.md §Batch scaling): the data the
+        # first real multi-chip run needs
+        for bs in (64, 128):
+            for label, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+                m = models.get_model(
+                    num_classes=20, is_msg=False, input_channels=6, dtype=dt
+                )
+                s = time_train(m, batch_size=bs)
+                print(
+                    json.dumps(
+                        {
+                            "metric": f"scale_ssg_{label}_b{bs}",
+                            "value": round(bs * NPOINTS / s, 1),
+                            "unit": "points/sec",
+                            "step_ms": round(s * 1e3, 2),
+                        }
+                    )
+                )
+
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(scale="--scale" in sys.argv)

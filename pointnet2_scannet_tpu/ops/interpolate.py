@@ -165,3 +165,39 @@ def three_interpolate_dense(
     """
     W = _dense_operator(idx, weight.astype(points.dtype), points.shape[1])
     return jnp.einsum("bnm,bmc->bnc", W, points)
+
+
+@jax.custom_vjp
+def three_interpolate_cached(
+    points: jnp.ndarray, idx: jnp.ndarray, weight: jnp.ndarray
+) -> jnp.ndarray:
+    """Dense-MXU three_interpolate with an explicitly W-CACHING VJP.
+
+    Same forward as three_interpolate_dense, but the (B, n, m) operator W is
+    saved as the residual so the backward is ONE einsum (grad_points =
+    W^T @ g) with no operator rebuild — under plain autodiff XLA is free to
+    rematerialize the one-hot construction inside the backward, which at the
+    FP1 shape (B=32, n=8192, m=1024) re-runs ~800M compares. Weight/idx get
+    no gradients, the reference's ThreeInterpolate.backward contract
+    (pointnet2_utils.py:188-206: grads to features only).
+
+    Residual cost: W is B*n*m floats live from the FP forward to its
+    backward; FP1 runs LAST in the forward pass, so its (the biggest) W has
+    the shortest live range.
+    """
+    W = _dense_operator(idx, weight.astype(points.dtype), points.shape[1])
+    return jnp.einsum("bnm,bmc->bnc", W, points)
+
+
+def _cached_vjp_fwd(points, idx, weight):
+    W = _dense_operator(idx, weight.astype(points.dtype), points.shape[1])
+    out = jnp.einsum("bnm,bmc->bnc", W, points)
+    return out, W
+
+
+def _cached_vjp_bwd(res, g):
+    W = res
+    return jnp.einsum("bnm,bnc->bmc", W, g.astype(W.dtype)), None, None
+
+
+three_interpolate_cached.defvjp(_cached_vjp_fwd, _cached_vjp_bwd)

@@ -1,0 +1,83 @@
+"""FP-stack variant shootout: three_interpolate lowerings fwd+bwd per level.
+
+Same scan-loop methodology as bench_hotops.py (device-side reps, scalar
+bleed, full-output consumption, scalar-only fetch). Compares, at each SSG FP
+shape and dtype:
+
+  dense-auto : three_interpolate_dense under plain autodiff (round-2 default)
+  cached-W   : three_interpolate_cached (custom_vjp reusing the forward's W)
+  fast       : three_interpolate_fast (gather fwd + dense rebuild bwd)
+  xla-scatter: take_along_axis + XLA scatter-add transpose
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from scripts.bench_hotops import FP_LEVELS, bench  # noqa: E402
+
+B = 32
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pointnet2_scannet_tpu import ops
+    from pointnet2_scannet_tpu.ops.interpolate import (
+        three_interpolate,
+        three_interpolate_cached,
+        three_interpolate_dense,
+        three_interpolate_fast,
+    )
+    from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(0)
+
+    for dtype_name, dtype in (("f32", np.float32), ("bf16", jnp.bfloat16)):
+        for name, n, m, C in FP_LEVELS:
+            unk = jnp.asarray(rng.uniform(0, 1.5, (B, n, 3)).astype(np.float32))
+            kno = jnp.asarray(rng.uniform(0, 1.5, (B, m, 3)).astype(np.float32))
+            feats = jnp.asarray(
+                rng.normal(size=(B, m, C)).astype(np.float32)
+            ).astype(dtype)
+            d2, nn3 = jax.jit(ops.three_nn)(unk, kno)
+            w = jnp.asarray(rng.uniform(0.1, 1, (B, n, 3)).astype(np.float32))
+            w = (w / jnp.sum(w, -1, keepdims=True)).astype(dtype)
+
+            variants = {
+                "dense-auto": three_interpolate_dense,
+                "cached-W": three_interpolate_cached,
+                "fast": three_interpolate_fast,
+                "xla-scatter": three_interpolate,
+            }
+            for vname, fn in variants.items():
+
+                def fb(acc, feats, w, fn=fn):
+                    def f(s):
+                        return jnp.sum(
+                            (fn(s, nn3, w).astype(jnp.float32)) ** 2
+                        )
+
+                    val, g = jax.value_and_grad(f)(
+                        feats + jnp.asarray(acc * 1e-20, feats.dtype)
+                    )
+                    return jnp.sum(g).astype(jnp.float32) * 1e-20 + acc
+
+                bench(
+                    f"{dtype_name} {name} interp {vname} fwd+bwd (n={n} m={m} C={C})",
+                    fb,
+                    feats,
+                    w,
+                )
+
+
+if __name__ == "__main__":
+    main()

@@ -314,6 +314,29 @@ class TestOpVariants:
         g2 = jax.grad(lambda p: jnp.sum(three_interpolate_dense(p, idx, w) ** 2))(points)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
 
+    def test_three_interpolate_cached_matches(self):
+        # cached-W custom_vjp: same values as the plain op, grads to
+        # FEATURES ONLY (the reference ThreeInterpolate.backward contract),
+        # and the feature grad equals the dense path's
+        from pointnet2_scannet_tpu.ops.interpolate import (
+            three_interpolate_cached,
+            three_interpolate_dense,
+        )
+
+        points = jnp.asarray(RNG.normal(size=(2, 12, 6)).astype(np.float32))
+        idx = jnp.asarray(RNG.integers(0, 12, size=(2, 40, 3)).astype(np.int32))
+        w = jnp.asarray(RNG.uniform(size=(2, 40, 3)).astype(np.float32))
+        a = np.asarray(ops.three_interpolate(points, idx, w))
+        b = np.asarray(three_interpolate_cached(points, idx, w))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+        g1 = jax.grad(lambda p: jnp.sum(three_interpolate_dense(p, idx, w) ** 2))(points)
+        g2 = jax.grad(lambda p: jnp.sum(three_interpolate_cached(p, idx, w) ** 2))(points)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+        gw = jax.grad(
+            lambda ww: jnp.sum(three_interpolate_cached(points, idx, ww) ** 2)
+        )(w)
+        np.testing.assert_array_equal(np.asarray(gw), 0.0)  # weights: no grad
+
     def test_group_points_segsum_matches(self):
         from pointnet2_scannet_tpu.ops.neighborhood import group_points_segsum
 
