@@ -47,6 +47,21 @@ class WholeSceneDataset:
             len(self.store.scenes[sid]) for sid in self.store.scene_ids
         )
 
+    def estimate_columns(self) -> list[int]:
+        """Cheap per-scene UPPER BOUND on the non-empty column count
+        (nx * ny from the xy bounds, no tiling pass) — used by the evaluator
+        to auto-size its device ring."""
+        out = []
+        L = self.cfg.chunk_size_xy
+        for sid in self.store.scene_ids:
+            xyz = self.store.scenes[sid][:, :3]
+            lo = xyz.min(axis=0)
+            hi = xyz.max(axis=0)
+            nx = max(int(np.ceil((hi[0] - lo[0]) / L)), 1)
+            ny = max(int(np.ceil((hi[1] - lo[1]) / L)), 1)
+            out.append(nx * ny)
+        return out
+
     def _tile_indices(self, index: int):
         """Shared tiler core: per-column resample indices into the scene.
 

@@ -85,15 +85,16 @@ class WholeSceneEvaluator:
         *,
         batch_size: int = 32,
         num_classes: int = NUM_CLASSES,
-        ring_slots: int = 4,
+        ring_slots: int | None = None,
         queue_depth: int = 2,
     ):
-        """ring_slots: resident scene slots in the device ring (W). A scene
-        stack wider than ring_slots x batch_size columns forces a pipeline
-        FLUSH when its slot is reclaimed (correct but a silent perf cliff on
-        very large scenes — raise ring_slots, at n_pad x C x 4 bytes of HBM
-        per slot). queue_depth: in-flight device batches. Both are exposed on
-        the eval/visualize CLIs as --eval_ring / --eval_depth."""
+        """ring_slots: resident scene slots in the device ring (W). Reusing
+        a slot whose scene still has columns in flight forces a pipeline
+        FLUSH (correct but a perf cliff). None (default) AUTO-SIZES the ring
+        from the dataset's per-scene column estimates so steady-state
+        evaluation never flushes (memory-capped; ~n_pad x C x 4 bytes of HBM
+        per slot). queue_depth: in-flight device batches. Both are exposed
+        on the eval/visualize CLIs as --eval_ring / --eval_depth."""
         self.variables = variables
         self.batch_size = batch_size
         self.num_classes = num_classes
@@ -112,6 +113,31 @@ class WholeSceneEvaluator:
 
         self._fwd = jax.jit(fwd)
         self._idx_cache: dict = {}  # (W, n_pad, C) -> (fwd_idx, update_slot)
+
+    def _pick_ring(self, dataset, n_pad: int, C: int, B: int, depth: int) -> int:
+        """Ring size: explicit override, else sized so steady-state
+        evaluation never hits the slot-reclaim flush. A scene drains ~S_i +
+        B*depth columns after arrival while ~(W-1)*S_min columns arrive
+        before its slot is reclaimed, so W >= 1 + (S_max + B*depth)/S_min
+        avoids flushes; the column estimates are bound-based (nx*ny upper
+        bounds), so S_min is halved as a safety factor. Clamped to [4, 64]
+        and to a 2 GB slot budget."""
+        if self.ring_slots is not None:
+            return self.ring_slots
+        ests = (
+            dataset.estimate_columns()
+            if hasattr(dataset, "estimate_columns")
+            else None
+        )
+        if not ests:
+            return 4
+        s_max = max(ests)
+        s_min = max(min(ests) // 2, 1)
+        W = int(np.ceil(1.0 + (s_max + B * depth) / s_min)) + 1
+        W = max(4, min(W, 64))
+        per_slot = n_pad * C * 4
+        W = max(2, min(W, int(2 * 1024**3 // max(per_slot, 1))))
+        return W
 
     def _build_indexed(self, W: int, n_pad: int, C: int):
         if (W, n_pad, C) in self._idx_cache:
@@ -223,9 +249,10 @@ class WholeSceneEvaluator:
 
         B = self.batch_size
         depth = self.queue_depth  # in-flight device batches
-        W = self.ring_slots  # resident scene slots on device
         n_pad = dataset.max_points()
         C = dataset.cfg.input_channels + 3
+        W = self._pick_ring(dataset, n_pad, C, B, depth)
+        self.last_ring_slots = W  # introspection/tests
         fwd_idx, update_slot = self._build_indexed(W, n_pad, C)
         stack = jnp.zeros((W, n_pad, C), jnp.float32)
 

@@ -79,10 +79,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_scenes", type=int, default=2)
     p.add_argument(
-        "--eval_ring", type=int, default=4,
-        help="resident scene slots in the device ring; scenes wider than "
-        "ring*batch_size columns force pipeline flushes — raise for very "
-        "large scenes (costs HBM per slot)",
+        "--eval_ring", type=int, default=None,
+        help="resident scene slots in the device ring (default: auto-sized "
+        "from the dataset so steady-state eval never flushes; costs HBM "
+        "per slot)",
     )
     p.add_argument(
         "--eval_depth", type=int, default=2,

@@ -86,8 +86,8 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--synthetic", action="store_true")
-    p.add_argument("--eval_ring", type=int, default=4,
-                   help="resident scene slots in the device ring")
+    p.add_argument("--eval_ring", type=int, default=None,
+                   help="resident scene slots in the device ring (default: auto)")
     p.add_argument("--eval_depth", type=int, default=2,
                    help="in-flight device batches in the async queue")
     return p.parse_args(argv)

@@ -121,7 +121,7 @@ class TestWholeSceneEvaluator:
         )
         ev = WholeSceneEvaluator(
             lambda v, pc, train=False: perfect_label_free_apply(pc), {},
-            batch_size=16,
+            batch_size=16, ring_slots=4,  # pin: exercise the flush path
         )
         report = ev.evaluate(ds, verbose=False)
         ds2 = WholeSceneDataset(
@@ -183,3 +183,28 @@ class TestWholeSceneEvaluator:
             got = run(ring, depth)
             np.testing.assert_allclose(got.point_acc, base.point_acc)
             np.testing.assert_allclose(got.voxel_miou, base.voxel_miou)
+
+
+    def test_auto_ring_sizing(self):
+        # default ring_slots=None auto-sizes the ring from the dataset's
+        # column estimates so tiny-scene workloads don't flush per scene
+        store = make_synthetic_store(10, n_points=2_000)
+        ds = WholeSceneDataset(
+            store, DataConfig(npoints=128, use_color=True), seed=0
+        )
+        ev = WholeSceneEvaluator(
+            lambda v, pc, train=False: perfect_label_free_apply(pc), {},
+            batch_size=16,
+        )
+        report = ev.evaluate(ds, verbose=False)
+        assert ev.last_ring_slots > 4  # grew beyond the old fixed W=4
+        ds2 = WholeSceneDataset(
+            store, DataConfig(npoints=128, use_color=True), seed=0
+        )
+        seq = [
+            ev.eval_scene(sid, f, l, w) for sid, (f, l, w) in ds2.iter_scenes()
+        ]
+        want = ev.aggregate(seq)
+        np.testing.assert_allclose(report.point_acc, want.point_acc)
+        for a, b in zip(report.scenes, seq):
+            np.testing.assert_array_equal(a.point_miou, b.point_miou)
