@@ -8,6 +8,8 @@ shape and dtype:
   cached-W   : three_interpolate_cached (custom_vjp reusing the forward's W)
   fast       : three_interpolate_fast (gather fwd + dense rebuild bwd)
   xla-scatter: take_along_axis + XLA scatter-add transpose
+
+plus three_nn (pallas vs XLA top_k) per level with --three_nn.
 """
 
 from __future__ import annotations
@@ -79,5 +81,33 @@ def main():
                 )
 
 
+def main_three_nn():
+    import jax
+    import jax.numpy as jnp
+
+    from pointnet2_scannet_tpu.ops.interpolate import three_nn
+    from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(0)
+    for name, n, m, C in FP_LEVELS:
+        unk = jnp.asarray(rng.uniform(0, 1.5, (B, n, 3)).astype(np.float32))
+        kno = jnp.asarray(rng.uniform(0, 1.5, (B, m, 3)).astype(np.float32))
+        for label, flag in (("pallas", True), ("xla", False)):
+
+            def tnn(acc, unk, kno, flag=flag):
+                d2, i = three_nn(unk + acc * 1e-20, kno, use_pallas=flag)
+                return (
+                    jnp.sum(d2) * 1e-20
+                    + jnp.sum(i).astype(jnp.float32) * 1e-20
+                    + acc
+                )
+
+            bench(f"{name} three_nn {label} (n={n} m={m})", tnn, unk, kno)
+
+
 if __name__ == "__main__":
-    main()
+    if "--three_nn" in sys.argv:
+        main_three_nn()
+    else:
+        main()
