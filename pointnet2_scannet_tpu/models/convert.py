@@ -126,3 +126,68 @@ def load_torch_pointnet2(path: str, spec: PointNet2Spec) -> dict:
     return convert_torch_pointnet2(
         torch.load(path, map_location="cpu", weights_only=False), spec
     )
+
+
+def _dense_to_conv(kernel: np.ndarray, conv_rank: int) -> np.ndarray:
+    """flax Dense kernel (in, out) -> torch conv weight (out, in, *ones)."""
+    w = np.asarray(kernel).T  # (out, in)
+    return w.reshape(w.shape + (1,) * (conv_rank - 2)).astype(np.float32)
+
+
+def export_torch_pointnet2(variables: dict, spec: PointNet2Spec) -> dict:
+    """The INVERSE of convert_torch_pointnet2: flax variables ->
+    reference-format state_dict (numpy arrays, reference key names/shapes).
+
+    Lets a model trained here be loaded straight into the reference stack
+    (`model.load_state_dict({k: torch.from_numpy(v) ...})`) for its
+    eval/visualize tooling — interop runs BOTH directions. Round-trip and
+    logits-parity tested in tests/test_convert.py.
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: dict[str, np.ndarray] = {}
+
+    def emit_block(src_scope: tuple, prefix: str, i: int, conv_rank: int):
+        pnode = params
+        for p in src_scope:
+            pnode = pnode[p]
+        dense = pnode[f"dense_{i}"]
+        out[f"{prefix}.layer{i}.conv.weight" if conv_rank == 4 else f"{prefix}.conv.weight"] = (
+            _dense_to_conv(dense["kernel"], conv_rank)
+        )
+        base = f"{prefix}.layer{i}" if conv_rank == 4 else prefix
+        if "bias" in dense:
+            out[f"{base}.conv.bias"] = np.asarray(dense["bias"], np.float32)
+        if f"bn_{i}" in pnode:
+            bn = pnode[f"bn_{i}"]
+            snode = stats
+            for p in src_scope:
+                snode = snode[p]
+            sbn = snode[f"bn_{i}"]
+            out[f"{base}.bn.bn.weight"] = np.asarray(bn["scale"], np.float32)
+            out[f"{base}.bn.bn.bias"] = np.asarray(bn["bias"], np.float32)
+            out[f"{base}.bn.bn.running_mean"] = np.asarray(sbn["mean"], np.float32)
+            out[f"{base}.bn.bn.running_var"] = np.asarray(sbn["var"], np.float32)
+            out[f"{base}.bn.bn.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    for k, level in enumerate(spec.sa_mlps):
+        for s, widths in enumerate(level):
+            for i in range(len(widths)):
+                emit_block((f"sa_{k}", f"mlp_{s}"), f"SA_modules.{k}.mlps.{s}", i, 4)
+    for k, widths in enumerate(spec.fp_mlps):
+        for i in range(len(widths)):
+            emit_block((f"fp_{k}", "mlp"), f"FP_modules.{k}.mlp", i, 4)
+    for prefix, scope in (("cls_layer.0", ("cls_fc",)), ("cls_layer.2", ("cls_out",))):
+        emit_block(scope, prefix, 0, 3)
+    return out
+
+
+def save_torch_pointnet2(path: str, variables: dict, spec: PointNet2Spec) -> None:
+    """Write a reference-loadable model.pth (requires torch)."""
+    import torch
+
+    torch.save(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+         export_torch_pointnet2(variables, spec).items()},
+        path,
+    )

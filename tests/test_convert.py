@@ -88,3 +88,67 @@ def test_unconsumed_keys_raise():
     sd["SA_modules.9.bogus"] = np.zeros(3)
     with pytest.raises(ValueError, match="unconsumed"):
         convert_torch_pointnet2(sd, spec)
+
+
+class TestReverseExport:
+    """export_torch_pointnet2: flax -> reference state_dict (interop runs
+    both directions)."""
+
+    @pytest.mark.parametrize("is_msg", [False, True], ids=["ssg", "msg"])
+    def test_roundtrip_exact(self, is_msg):
+        from pointnet2_scannet_tpu.models.convert import export_torch_pointnet2
+
+        spec = (models.msg_spec if is_msg else models.ssg_spec)(20, 6)
+        model = models.PointNet2SemSeg(spec=spec)
+        pc = np.zeros((1, 1024, 9), np.float32)
+        variables = model.init(jax.random.key(3), pc, train=False)
+        variables = jax.tree_util.tree_map(np.asarray, dict(variables))
+        sd = export_torch_pointnet2(variables, spec)
+        back = convert_torch_pointnet2(dict(sd), spec)
+        for col in ("params", "batch_stats"):
+            a = dict(jax.tree_util.tree_flatten_with_path(variables[col])[0])
+            b = dict(jax.tree_util.tree_flatten_with_path(back[col])[0])
+            assert a.keys() == b.keys()
+            for path in a:
+                np.testing.assert_array_equal(
+                    np.asarray(a[path]), np.asarray(b[path]),
+                    err_msg=jax.tree_util.keystr(path),
+                )
+
+    def test_loads_into_reference_model(self):
+        """The exported dict must load_state_dict(strict=True) into the real
+        reference model and produce OUR logits."""
+        torch = pytest.importorskip("torch")
+        import sys
+
+        sys.path.insert(0, "tests")
+        from tests.torch_ref import load_reference_modules
+
+        mods = load_reference_modules()
+        from pointnet2_scannet_tpu.models.convert import export_torch_pointnet2
+
+        spec = models.ssg_spec(20, 6)
+        model = models.PointNet2SemSeg(spec=spec)
+        rng = np.random.default_rng(5)
+        pc = rng.uniform(-1.5, 1.5, (2, 1024, 9)).astype(np.float32)
+        variables = model.init(jax.random.key(1), pc[:1], train=False)
+        variables = jax.tree_util.tree_map(np.asarray, dict(variables))
+        sd = export_torch_pointnet2(variables, spec)
+
+        tmodel = mods["semseg"].get_model(
+            num_classes=20, is_msg=False, input_channels=6, use_xyz=True, bn=True
+        )
+        missing, unexpected = tmodel.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+            strict=True,
+        )
+        assert not missing and not unexpected
+        tmodel.eval()
+        with torch.no_grad():
+            ref = tmodel(torch.from_numpy(pc)).numpy()
+        ours = np.asarray(
+            jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, pc)
+        )
+        np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=2e-3)
+        agree = np.mean(np.argmax(ours, -1) == np.argmax(ref, -1))
+        assert agree > 0.999, agree
