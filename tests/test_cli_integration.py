@@ -236,3 +236,12 @@ def test_cli_pipeline_on_reference_format_fixtures(tmp_path):
 
     ply = read_ply(preds[0])
     assert len(ply["vertex"]) > 0
+
+    # -- stage 6: export the trained checkpoint in the reference's format ----
+    out = run_cli("scripts/export_torch.py", ["--folder", str(run_dir)])
+    assert "reference-format state_dict" in out
+    import torch
+
+    sd = torch.load(run_dir / "model_best.pth", weights_only=False)
+    assert any(k.startswith("SA_modules.0") for k in sd)
+    assert "cls_layer.2.conv.weight" in sd
