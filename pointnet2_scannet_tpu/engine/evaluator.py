@@ -123,6 +123,10 @@ class WholeSceneEvaluator:
         bounds), so S_min is halved as a safety factor. Clamped to [4, 64]
         and to a 2 GB slot budget."""
         if self.ring_slots is not None:
+            if self.ring_slots < 1:
+                raise ValueError(
+                    f"ring_slots must be >= 1, got {self.ring_slots}"
+                )
             return self.ring_slots
         ests = (
             dataset.estimate_columns()

@@ -177,6 +177,13 @@ def export_torch_pointnet2(variables: dict, spec: PointNet2Spec) -> dict:
     for k, widths in enumerate(spec.fp_mlps):
         for i in range(len(widths)):
             emit_block((f"fp_{k}", "mlp"), f"FP_modules.{k}.mlp", i, 4)
+    # the reference head is exactly Conv1d -> Dropout -> Conv1d
+    # (pointnet2_semseg.py:73-80); a multi-layer cls_fc has no reference
+    # naming to export to
+    if len(spec.cls_fc) != 1:
+        raise ValueError(
+            f"reference export supports a single-layer cls_fc, got {spec.cls_fc}"
+        )
     for prefix, scope in (("cls_layer.0", ("cls_fc",)), ("cls_layer.2", ("cls_out",))):
         emit_block(scope, prefix, 0, 3)
     return out

@@ -157,6 +157,12 @@ class FeaturePropagation(nn.Module):
                 use_fast = on_tpu
             if use_fast:
                 interpolated = three_interpolate_fast(known_feats, idx, weight)
+            elif ops_config.interpolate_cached:
+                from pointnet2_scannet_tpu.ops.interpolate import (
+                    three_interpolate_cached,
+                )
+
+                interpolated = three_interpolate_cached(known_feats, idx, weight)
             else:
                 use_dense = ops_config.interpolate_dense
                 if use_dense is None:

@@ -27,6 +27,11 @@ class OpsConfig:
     # of gather + XLA scatter-add transpose; None = auto (on for TPU backends,
     # measured ~7% faster on the full SSG train step)
     interpolate_dense: bool | None = None
+    # dense interpolate with the explicitly W-CACHING custom_vjp
+    # (three_interpolate_cached). Measured a TIE with plain autodiff at the
+    # FP shapes (XLA already keeps W as the residual, scripts/bench_fp.py) —
+    # default off; useful under remat policies that would rebuild W.
+    interpolate_cached: bool = False
     # group_points with a sort+segment-sum backward instead of scatter-add
     group_segsum: bool = False
     # Pallas kernels: True/False forces, None = auto (TPU backends with

@@ -93,7 +93,15 @@ def main_three_nn():
     for name, n, m, C in FP_LEVELS:
         unk = jnp.asarray(rng.uniform(0, 1.5, (B, n, 3)).astype(np.float32))
         kno = jnp.asarray(rng.uniform(0, 1.5, (B, m, 3)).astype(np.float32))
-        for label, flag in (("pallas", True), ("xla", False)):
+        # the wrapper's lane gate (m % 128) would silently fall back to XLA
+        # even with use_pallas=True — only label a row 'pallas' when the
+        # kernel actually runs
+        variants = [("xla", False)]
+        if m % 128 == 0 and n % min(n, 256) == 0:
+            variants.insert(0, ("pallas", True))
+        else:
+            print(f"{name}: pallas skipped (m={m} not lane-aligned)")
+        for label, flag in variants:
 
             def tnn(acc, unk, kno, flag=flag):
                 d2, i = three_nn(unk + acc * 1e-20, kno, use_pallas=flag)
