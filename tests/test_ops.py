@@ -389,3 +389,26 @@ class TestThreeInterpolateFast:
         )(w)
         # the CUDA ThreeInterpolate.backward returns None for weight
         np.testing.assert_array_equal(np.asarray(gw), np.zeros_like(np.asarray(gw)))
+
+
+def test_fp_module_interpolate_cached_flag_matches_default():
+    """ops_config.interpolate_cached routes FeaturePropagation through the
+    W-caching custom_vjp; outputs must equal the default lowering."""
+    import jax
+
+    from pointnet2_scannet_tpu.models.modules import FeaturePropagation
+    from pointnet2_scannet_tpu.ops.tuning import ops_config
+
+    rng = np.random.default_rng(4)
+    unk = jnp.asarray(rng.uniform(0, 1.5, (2, 64, 3)).astype(np.float32))
+    kno = jnp.asarray(rng.uniform(0, 1.5, (2, 16, 3)).astype(np.float32))
+    kfeat = jnp.asarray(rng.normal(size=(2, 16, 8)).astype(np.float32))
+    fp = FeaturePropagation(mlp=(8,))
+    variables = fp.init(jax.random.key(0), unk, kno, None, kfeat)
+    base = np.asarray(fp.apply(variables, unk, kno, None, kfeat))
+    ops_config.interpolate_cached = True
+    try:
+        got = np.asarray(fp.apply(variables, unk, kno, None, kfeat))
+    finally:
+        ops_config.interpolate_cached = False
+    np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-6)
