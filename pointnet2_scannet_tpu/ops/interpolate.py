@@ -49,6 +49,19 @@ def three_nn(
             use_pallas = ops_config.three_nn_pallas
         else:
             use_pallas = jax.default_backend() in ("tpu", "axon")
+    if use_pallas and n % 128 == 0 and m % 8 == 0:
+        # transposed (known-major) kernel: measured 3.0 ms vs 5.3 for the
+        # query-major kernel at the FP1 shape (scripts/bench_fp.py --three_nn)
+        from pointnet2_scannet_tpu.ops.pallas.three_nn_kernel import (
+            three_nn_pallas_t,
+        )
+
+        tile_n = min(n, 512)
+        # 4 live (m, tile_n) f32 buffers; keep them within ~8 MB of VMEM
+        while tile_n > 128 and m * tile_n * 16 > 8 * 1024 * 1024:
+            tile_n //= 2
+        if n % tile_n == 0:
+            return three_nn_pallas_t(unknown, known, tile_n=tile_n)
     if use_pallas and m % 128 == 0 and n % min(n, 256) == 0:
         from pointnet2_scannet_tpu.ops.pallas.three_nn_kernel import three_nn_pallas
 

@@ -39,12 +39,14 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, *, npoint: int,
     z = z_ref[...]
 
     if skip_near_origin:
-        # reference skips points with |p|^2 <= 1e-3 (sampling_gpu.cu:100-101)
+        # reference skips points with |p|^2 <= 1e-3 (sampling_gpu.cu:100-101).
+        # The predicate is folded into the mind INIT: invalid lanes start at
+        # -1 and stay there (min(-1, d>=0) == -1), so the selection argmax
+        # needs no per-iteration where(valid, ...) pass.
         valid = (x * x + y * y + z * z) > 1e-3
+        mind_ref[...] = jnp.where(valid, jnp.float32(1e10), jnp.float32(-1.0))
     else:
-        valid = jnp.ones_like(x, dtype=jnp.bool_)
-
-    mind_ref[...] = jnp.full(x.shape, 1e10, jnp.float32)
+        mind_ref[...] = jnp.full(x.shape, 1e10, jnp.float32)
     out_ref[...] = jnp.zeros_like(out_ref)
 
     col = lax.broadcasted_iota(jnp.int32, x.shape, 1)  # (B, N)
@@ -60,9 +62,9 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, *, npoint: int,
         d = (x - x1) ** 2 + (y - y1) ** 2 + (z - z1) ** 2
         mind = jnp.minimum(mind_ref[...], d)
         mind_ref[...] = mind
-        cand = jnp.where(valid, mind, -1.0)
         # lowest-index-wins argmax over lanes, batched over sublanes
-        best = jnp.argmax(cand, axis=1, keepdims=True).astype(jnp.int32)
+        # (invalid lanes sit at -1 < every real min-distance)
+        best = jnp.argmax(mind, axis=1, keepdims=True).astype(jnp.int32)
         out_ref[...] = jnp.where(slot == j, best, out_ref[...])
         return best
 

@@ -81,11 +81,12 @@ def main():
                 )
 
 
-def main_three_nn():
+def main_three_nn(skip_xla: bool = False):
     import jax
     import jax.numpy as jnp
 
     from pointnet2_scannet_tpu.ops.interpolate import three_nn
+    from pointnet2_scannet_tpu.ops.pallas.three_nn_kernel import three_nn_pallas_t
     from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -96,15 +97,23 @@ def main_three_nn():
         # the wrapper's lane gate (m % 128) would silently fall back to XLA
         # even with use_pallas=True — only label a row 'pallas' when the
         # kernel actually runs
-        variants = [("xla", False)]
+        variants = [] if skip_xla else [("xla", None)]
         if m % 128 == 0 and n % min(n, 256) == 0:
-            variants.insert(0, ("pallas", True))
+            variants.insert(0, ("pallas", None))
         else:
             print(f"{name}: pallas skipped (m={m} not lane-aligned)")
-        for label, flag in variants:
+        for tn in (128, 256, 512):
+            if n % tn == 0 and m % 8 == 0:
+                variants.append((f"pallas-t tn={tn}", tn))
+        for label, tn in variants:
 
-            def tnn(acc, unk, kno, flag=flag):
-                d2, i = three_nn(unk + acc * 1e-20, kno, use_pallas=flag)
+            def tnn(acc, unk, kno, label=label, tn=tn):
+                if label.startswith("pallas-t"):
+                    d2, i = three_nn_pallas_t(unk + acc * 1e-20, kno, tile_n=tn)
+                else:
+                    d2, i = three_nn(
+                        unk + acc * 1e-20, kno, use_pallas=label == "pallas"
+                    )
                 return (
                     jnp.sum(d2) * 1e-20
                     + jnp.sum(i).astype(jnp.float32) * 1e-20
@@ -116,6 +125,6 @@ def main_three_nn():
 
 if __name__ == "__main__":
     if "--three_nn" in sys.argv:
-        main_three_nn()
+        main_three_nn(skip_xla="--skip_xla" in sys.argv)
     else:
         main()

@@ -258,6 +258,41 @@ class TestThreeNNPallas:
             np.asarray(d2), want_d2.astype(np.float32), rtol=1e-6
         )
 
+    def test_transposed_matches_oracle_interpret(self):
+        from pointnet2_scannet_tpu.ops.pallas.three_nn_kernel import three_nn_pallas_t
+
+        rng = np.random.default_rng(8)
+        # m=64 exercises the relaxed constraint (m % 8, not % 128)
+        for n, m in ((512, 128), (256, 64), (384, 1024)):
+            unknown = rng.uniform(0, 1.5, size=(2, n, 3)).astype(np.float32)
+            known = rng.uniform(0, 1.5, size=(2, m, 3)).astype(np.float32)
+            d2, idx = three_nn_pallas_t(
+                jnp.asarray(unknown), jnp.asarray(known), tile_n=128,
+                interpret=True,
+            )
+            want_d2, want_idx = oracles.three_nn_oracle(unknown, known)
+            np.testing.assert_array_equal(np.asarray(idx), want_idx)
+            np.testing.assert_allclose(
+                np.asarray(d2), want_d2.astype(np.float32), rtol=1e-6
+            )
+
+    def test_transposed_tie_break_lowest_index(self):
+        from pointnet2_scannet_tpu.ops.pallas.three_nn_kernel import three_nn_pallas_t
+
+        # duplicate known points force exact distance ties; strict-< insertion
+        # (interpolate_gpu.cu:34-49) keeps the earliest index
+        known = np.zeros((1, 16, 3), np.float32)
+        known[0, :, 0] = [0.5, 0.5, 0.5, 2.0, 2.0, 3.0, 3.0, 3.0,
+                          4.0, 4.0, 4.0, 4.0, 5.0, 5.0, 5.0, 5.0]
+        unknown = np.zeros((1, 128, 3), np.float32)
+        unknown[:, :, 0] = 0.6
+        d2, idx = three_nn_pallas_t(
+            jnp.asarray(unknown), jnp.asarray(known), interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(idx)[0, 0], np.array([0, 1, 2], np.int32)
+        )
+
 
 class TestMxuScatterAdd:
     def test_matches_xla_scatter_add(self):
