@@ -6,8 +6,14 @@ FLOPs, MFU) that make the headline checkable.
 
 Prints ONE JSON line. Headline fields: metric/value/unit/vs_baseline
 (SSG f32 points/sec vs the reference-on-3090 estimate derived in
-BASELINE.md §"Throughput baseline derivation"). Extra fields:
-  step_ms              SSG f32 train-step latency (settled, 20-step mean)
+BASELINE.md §"Throughput baseline derivation"). The headline measures the
+train CLI's production dispatch mode (--fused_steps 8: K steps per fused
+lax.scan program — identical per-step math, tested; removes per-step
+dispatch latency). Extra fields:
+  fused_steps          the fused-dispatch width the headline ran at
+  step_ms              SSG f32 per-step latency in fused mode (20-step mean)
+  step_ms_per_dispatch / step_ms_bf16_per_dispatch  one-dispatch-per-step
+                       latencies (the pre-fusion numbers, for audit)
   ssg_bf16_points_per_sec / step_ms_bf16   the bf16 compute-dtype config
   msg_points_per_sec / msg_bf16_points_per_sec   MSG config throughput
   model_tflops_fwd     analytic forward matmul FLOPs of the SSG model (TF)
@@ -36,6 +42,7 @@ import numpy as np
 BASELINE_POINTS_PER_SEC = 655_360.0  # derivation: BASELINE.md
 V5E_BF16_PEAK = 197e12
 BATCH = 32
+FUSED = 8  # headline fused-dispatch width (the train CLI default --fused_steps)
 NPOINTS = 8192
 STEPS = 20
 
@@ -70,13 +77,23 @@ def fwd_matmul_flops(spec, B: int, N: int) -> float:
     return f
 
 
-def time_train(model, steps: int = STEPS, batch_size: int = BATCH) -> float:
-    """Settled seconds per train step."""
+def time_train(
+    model, steps: int = STEPS, batch_size: int = BATCH, fused: int = 1
+) -> float:
+    """Settled seconds per train step.
+
+    fused > 1 measures the production fused-dispatch path (the train CLI's
+    default --fused_steps: K steps per lax.scan program,
+    parallel.step.make_fused_train_step) — same per-step math, one dispatch
+    per K steps.
+    """
     import jax
 
     from pointnet2_scannet_tpu.engine import train_state as ts
     from pointnet2_scannet_tpu.parallel import (
         batch_sharding,
+        fused_batch_sharding,
+        make_fused_train_step,
         make_mesh,
         make_parallel_train_step,
         replicated,
@@ -92,27 +109,36 @@ def time_train(model, steps: int = STEPS, batch_size: int = BATCH) -> float:
         "labels": rng.integers(0, 20, size=(batch_size, NPOINTS)).astype(np.int32),
         "weights": np.ones((batch_size, NPOINTS), np.float32),
     }
+    if fused > 1:
+        raw_batch = {k: np.stack([v] * fused) for k, v in raw_batch.items()}
+        shard = fused_batch_sharding(mesh) if mesh.size > 1 else None
+    else:
+        shard = batch_sharding(mesh) if mesh.size > 1 else None
     if mesh.size > 1:
         state = jax.device_put(state, replicated(mesh))
-        batch = jax.device_put(raw_batch, batch_sharding(mesh))
+        batch = jax.device_put(raw_batch, shard)
         dropout_rng = jax.device_put(jax.random.key(2), replicated(mesh))
     else:
         state = jax.device_put(state)
         batch = jax.device_put(raw_batch)
         dropout_rng = jax.random.key(2)
-    step = make_parallel_train_step(mesh, num_classes=20)
+    if fused > 1:
+        step = make_fused_train_step(mesh, num_classes=20)
+    else:
+        step = make_parallel_train_step(mesh, num_classes=20)
 
     # warmup / compile. NOTE: fetch the loss value (not block_until_ready) —
     # the axon tunnel's block_until_ready returns before execution finishes.
     for _ in range(3):
         state, stats = step(state, batch, dropout_rng)
-    float(np.asarray(stats["loss"]))
+    float(np.asarray(stats["loss"]).reshape(-1)[-1])
 
+    calls = max(steps // fused, 1)
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(calls):
         state, stats = step(state, batch, dropout_rng)
-    float(np.asarray(stats["loss"]))
-    return (time.perf_counter() - t0) / steps
+    float(np.asarray(stats["loss"]).reshape(-1)[-1])
+    return (time.perf_counter() - t0) / (calls * fused)
 
 
 def eval_scenes_per_sec(n_scenes: int = 6) -> float:
@@ -154,21 +180,25 @@ def main(scale: bool = False) -> None:
     from pointnet2_scannet_tpu import models
 
     ssg = models.get_model(num_classes=20, is_msg=False, input_channels=6)
-    ssg_step_s = time_train(ssg)
+    # headline: the train CLI's production path (--fused_steps 8, K steps per
+    # lax.scan program); per-dispatch numbers kept as audit fields
+    ssg_step_s = time_train(ssg, fused=FUSED)
     ssg_pps = BATCH * NPOINTS / ssg_step_s
+    ssg_disp_s = time_train(ssg)
 
     ssg_bf16 = models.get_model(
         num_classes=20, is_msg=False, input_channels=6, dtype=jnp.bfloat16
     )
-    ssg_bf16_step_s = time_train(ssg_bf16)
+    ssg_bf16_step_s = time_train(ssg_bf16, fused=FUSED)
     ssg_bf16_pps = BATCH * NPOINTS / ssg_bf16_step_s
+    ssg_bf16_disp_s = time_train(ssg_bf16)
 
     msg = models.get_model(num_classes=20, is_msg=True, input_channels=6)
-    msg_pps = BATCH * NPOINTS / time_train(msg)
+    msg_pps = BATCH * NPOINTS / time_train(msg, fused=FUSED)
     msg_bf16 = models.get_model(
         num_classes=20, is_msg=True, input_channels=6, dtype=jnp.bfloat16
     )
-    msg_bf16_pps = BATCH * NPOINTS / time_train(msg_bf16)
+    msg_bf16_pps = BATCH * NPOINTS / time_train(msg_bf16, fused=FUSED)
 
     eps = eval_scenes_per_sec()
 
@@ -180,8 +210,11 @@ def main(scale: bool = False) -> None:
                 "value": round(ssg_pps, 1),
                 "unit": "points/sec",
                 "vs_baseline": round(ssg_pps / BASELINE_POINTS_PER_SEC, 3),
+                "fused_steps": FUSED,
                 "step_ms": round(ssg_step_s * 1e3, 2),
                 "step_ms_bf16": round(ssg_bf16_step_s * 1e3, 2),
+                "step_ms_per_dispatch": round(ssg_disp_s * 1e3, 2),
+                "step_ms_bf16_per_dispatch": round(ssg_bf16_disp_s * 1e3, 2),
                 "ssg_bf16_points_per_sec": round(ssg_bf16_pps, 1),
                 "msg_points_per_sec": round(msg_pps, 1),
                 "msg_bf16_points_per_sec": round(msg_bf16_pps, 1),

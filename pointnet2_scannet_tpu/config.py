@@ -107,6 +107,11 @@ class TrainConfig:
     # shared quirk and the first suspect if real-data runs undershoot the
     # mIoU gates. --shuffle breaks the grouping.
     shuffle: bool = False
+    # dispatch K sequential optimizer steps as ONE lax.scan program (exact
+    # same math — see parallel.step.make_fused_train_step; removes per-step
+    # host dispatch latency). 1 = per-batch dispatch; leftovers when the
+    # epoch length doesn't divide K run per-batch.
+    fused_steps: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

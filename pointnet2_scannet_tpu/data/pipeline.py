@@ -101,6 +101,8 @@ def prefetch_to_device(
     TPU-side equivalent of the reference's @background() prefetch thread.
     When `sharding` is given, batches are placed directly into their
     data-parallel layout (one H2D copy per device shard, no host round trip).
+    `sharding` may also be a callable item -> sharding for streams that mix
+    layouts (e.g. fused (K, B, ...) groups + per-batch leftovers).
     """
     q: queue.Queue = queue.Queue(maxsize=size)
     sentinel = object()
@@ -109,8 +111,9 @@ def prefetch_to_device(
     def producer():
         try:
             for item in iterator:
-                if sharding is not None:
-                    item = jax.device_put(item, sharding)
+                s = sharding(item) if callable(sharding) else sharding
+                if s is not None:
+                    item = jax.device_put(item, s)
                 else:
                     item = jax.device_put(item)
                 q.put(item)

@@ -33,8 +33,13 @@ from pointnet2_scannet_tpu.engine import metrics as M
 from pointnet2_scannet_tpu.engine import train_state as ts
 from pointnet2_scannet_tpu.engine.checkpoint import save_checkpoint
 from pointnet2_scannet_tpu.engine.logging import ScalarLogger
-from pointnet2_scannet_tpu.parallel.mesh import batch_sharding, make_mesh
+from pointnet2_scannet_tpu.parallel.mesh import (
+    batch_sharding,
+    fused_batch_sharding,
+    make_mesh,
+)
 from pointnet2_scannet_tpu.parallel.step import (
+    make_fused_train_step,
     make_parallel_eval_step,
     make_parallel_train_step,
     make_shardmap_eval_step,
@@ -150,6 +155,22 @@ class Solver:
             )
         self.num_classes = num_classes
 
+        # fused multi-step dispatch (TrainConfig.fused_steps > 1): K steps per
+        # lax.scan program — exact per-step math, one dispatch per K steps
+        self.fused_steps = max(int(getattr(tc, "fused_steps", 1) or 1), 1)
+        self._fused_train_step = None
+        self._fused_sharding = None
+        if self.fused_steps > 1 and isinstance(self.train_loader, BatchLoader):
+            self._fused_train_step = make_fused_train_step(
+                self.mesh,
+                num_classes=num_classes,
+                axis_name=(
+                    dp_axis if self.parallel_strategy == "shard_map_dp" else None
+                ),
+            )
+            if self.mesh.size > 1:
+                self._fused_sharding = fused_batch_sharding(self.mesh)
+
         self.logger = ScalarLogger(self.output_dir)
         self.best = {"epoch": -1, "voxel_miou": -1.0}
         self._global_iter = 0
@@ -259,7 +280,115 @@ class Solver:
         self.logger.export()
         return self.best
 
+    def _fused_group_stream(self):
+        """(K, B, ...)-stacked groups of train batches, then any leftover
+        batches per-batch (the epoch tail when len % K != 0)."""
+        buf = []
+        for b in iter(self.train_loader):
+            buf.append(b)
+            if len(buf) == self.fused_steps:
+                yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *buf)
+                buf = []
+        yield from buf
+
+    def _run_train_epoch_fused(self, epoch, epochs, verbose, t_start):
+        """Train epoch dispatching K steps per fused-scan program.
+
+        Per-step math is identical to _run_train_epoch (tested:
+        tests/test_parallel.py fused agreement); stats stay on device until
+        the verbose/epoch boundary so groups dispatch back-to-back.
+        losses/cms collect per-GROUP stacked leaves ((K,)/(K, C, C)) and are
+        flattened at reporting time.
+        """
+        losses, cms, counts = [], [], []
+        iters = len(self.train_loader)
+        it_done, last_report = 0, 0
+        t0 = time.time()
+        def _shard_for(item):
+            if self.mesh.size == 1:
+                return None
+            if item["points"].ndim == 4:
+                return self._fused_sharding
+            return self.batch_sharding
+
+        for item in prefetch_to_device(
+            self._fused_group_stream(), sharding=_shard_for
+        ):
+            if item["points"].ndim == 4:
+                k = item["points"].shape[0]
+                self.state, stats = self._fused_train_step(
+                    self.state, item, self.dropout_rng
+                )
+            else:
+                k = 1
+                self.state, stats = self._train_step(
+                    self.state, item, self.dropout_rng
+                )
+            losses.append(stats["loss"])
+            cms.append(stats["confusion"])
+            counts.append(k)
+            it_done += k
+            if it_done // verbose > last_report // verbose:
+                last_report = it_done
+                flat_losses = self._flat_scalars(losses)
+                cm = np.sum(
+                    [self._flat_cm(c) for c in cms[-max(verbose // k, 1):]],
+                    axis=0,
+                )
+                pm = M.confusion_to_point_metrics(cm)
+                iters_left = (epochs - epoch) * iters - it_done
+                mean_iter = (time.time() - t_start) / max(
+                    self._global_iter + it_done, 1
+                )
+                eta = decode_eta(mean_iter * iters_left)
+                print(
+                    ITER_REPORT.format(
+                        epoch=epoch + 1,
+                        epochs=epochs,
+                        iter=it_done,
+                        iters=iters,
+                        loss=float(np.mean(flat_losses[-verbose:])),
+                        point_acc=pm["point_acc"],
+                        point_miou=pm["point_miou"],
+                        fetch=0.0,
+                        step=(time.time() - t0) / max(it_done, 1),
+                        eta_h=eta["h"],
+                        eta_m=eta["m"],
+                        eta_s=eta["s"],
+                    ),
+                    flush=True,
+                )
+        self._global_iter += iters
+        flat_losses = self._flat_scalars(losses)
+        cm_total = (
+            np.sum([self._flat_cm(c) for c in cms], axis=0)
+            if cms
+            else np.zeros((self.num_classes, self.num_classes))
+        )
+        out = (
+            {"loss": float(np.mean(flat_losses))}
+            if len(flat_losses)
+            else {"loss": float("nan")}
+        )
+        out.update(M.confusion_to_point_metrics(cm_total))
+        return out
+
+    @staticmethod
+    def _flat_scalars(xs) -> np.ndarray:
+        """Flatten a mixed list of scalars and (K,) stacked stats."""
+        if not xs:
+            return np.zeros((0,), np.float32)
+        return np.concatenate([np.asarray(x).reshape(-1) for x in xs])
+
+    @staticmethod
+    def _flat_cm(c) -> np.ndarray:
+        """(K, C, C) group confusion -> (C, C); (C, C) passes through."""
+        a = np.asarray(c)
+        return a.sum(axis=0) if a.ndim == 3 else a
+
     def _run_train_epoch(self, epoch, epochs, verbose, t_start):
+        if self._fused_train_step is not None:
+            return self._run_train_epoch_fused(epoch, epochs, verbose, t_start)
         losses, cms = [], []
         fetch_times, step_times = [], []
         iters = len(self.train_loader)

@@ -11,6 +11,7 @@ from pointnet2_scannet_tpu.parallel.mesh import (
     make_mesh,
     make_mesh_2d,
     batch_sharding,
+    fused_batch_sharding,
     replicated,
     shard_train_state,
     train_state_shardings,
@@ -21,12 +22,14 @@ from pointnet2_scannet_tpu.parallel.step import (
     make_parallel_accum_step,
     make_parallel_apply_accum,
     make_sharded_train_step,
+    make_fused_train_step,
 )
 
 __all__ = [
     "make_mesh",
     "make_mesh_2d",
     "batch_sharding",
+    "fused_batch_sharding",
     "replicated",
     "shard_train_state",
     "train_state_shardings",
@@ -35,4 +38,5 @@ __all__ = [
     "make_parallel_accum_step",
     "make_parallel_apply_accum",
     "make_sharded_train_step",
+    "make_fused_train_step",
 ]

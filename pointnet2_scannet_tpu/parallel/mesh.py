@@ -46,6 +46,13 @@ def batch_sharding(mesh: Mesh, *, axis_name: str = "dp") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def fused_batch_sharding(mesh: Mesh, *, axis_name: str = "dp") -> NamedSharding:
+    """Shard axis 1 — the batch axis of (fused, B, ...) stacked batches fed
+    to make_fused_train_step — over the dp mesh axis; the leading scan axis
+    stays unsharded."""
+    return NamedSharding(mesh, P(None, axis_name))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -46,6 +46,75 @@ def make_parallel_train_step(mesh: Mesh, *, num_classes: int, donate: bool = Tru
     )
 
 
+def make_fused_train_step(
+    mesh: Mesh,
+    *,
+    num_classes: int,
+    axis_name: str | None = None,
+    donate: bool = True,
+):
+    """lax.scan of K sequential train steps dispatched as ONE program.
+
+    Semantics are EXACTLY K calls of the per-batch step — train_step folds
+    the dropout key with state.step, which increments inside the scan, so the
+    per-step keys, LR schedule positions, and BN updates all match the
+    sequential path. What changes is dispatch: the host submits one program
+    per K steps, removing per-dispatch latency from the critical path
+    (measured ~2-3 ms/step through this tunnel, DESIGN.md §Round-2) and
+    letting the device run back-to-back without waiting on the host.
+
+    Returns fn(state, batches, rng) -> (state, stats) where every `batches`
+    leaf has a leading (K, ...) scan axis (stack K loader batches) and the
+    stats leaves come back stacked (K, ...). Feed multi-device meshes batches
+    placed with mesh.fused_batch_sharding (axis 1 = the batch axis).
+
+    axis_name: build the per-device (shard_map) variant — the production
+    choice on dp-only meshes where the model carries bn_axis_name (same
+    rationale as make_shardmap_train_step); the scan lives INSIDE the
+    shard_map region so the fused window is still one program per device.
+    """
+    from jax import lax
+
+    from pointnet2_scannet_tpu.engine import train_state as ts
+
+    step = functools.partial(
+        ts.train_step, num_classes=num_classes, axis_name=axis_name
+    )
+
+    def multi(state, batches, rng):
+        def body(st, batch):
+            return step(st, batch, rng)
+
+        return lax.scan(body, state, batches)
+
+    donate_args = (0,) if donate else ()
+    if mesh.size == 1:
+        return jax.jit(multi, donate_argnums=donate_args)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if axis_name is not None:
+        assert mesh.axis_names == (axis_name,), (
+            f"fused shard_map step wants a 1-axis ({axis_name},) mesh, got "
+            f"{mesh.axis_names}"
+        )
+        mapped = jax.shard_map(
+            multi,
+            mesh=mesh,
+            in_specs=(P(), P(None, axis_name), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped, donate_argnums=donate_args)
+    rep = replicated(mesh)
+    shard = NamedSharding(mesh, P(None, mesh.axis_names[0]))
+    return jax.jit(
+        multi,
+        in_shardings=(rep, shard, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=donate_args,
+    )
+
+
 def make_sharded_train_step(*, num_classes: int, donate: bool = True):
     """Sharding-agnostic train step: no explicit in_shardings — the layout
     follows the data (use parallel.mesh.shard_train_state for tp/dp placement

@@ -64,6 +64,7 @@ def build_config(args) -> "RunConfig":
             no_weighting=args.no_weighting,
             num_devices=args.num_devices,
             shuffle=args.shuffle,
+            fused_steps=args.fused_steps,
         ),
     )
 
@@ -209,6 +210,12 @@ def parse_args(argv=None):
         help="shuffle scene order across train batches each epoch (the "
         "reference keeps a FIXED order, scripts/train.py:26 — identical "
         "batch scene-composition every epoch; parity default off)",
+    )
+    p.add_argument(
+        "--fused_steps", type=int, default=8,
+        help="dispatch K optimizer steps as one fused lax.scan program "
+        "(exact same math; amortizes per-step dispatch latency). 1 disables; "
+        "ignored by --use_wholescene (grad accumulation drives its loop)",
     )
     p.add_argument("--data_dir", type=str, default="data/preprocessed_scenes")
     p.add_argument("--multiview_h5", type=str, default="data/enet_feats.hdf5")

@@ -264,3 +264,113 @@ class TestShardMapStep:
         )
         got = float(fn(logits, labels, weights))
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestFusedStep:
+    """make_fused_train_step: a lax.scan of K steps must be the SAME math as
+    K sequential per-batch steps (train_step folds the dropout key with
+    state.step, so per-step keys line up)."""
+
+    def _batches(self, k, seed=11):
+        rng = np.random.default_rng(seed)
+        out = []
+        for _ in range(k):
+            pc = rng.uniform(0, 1.5, size=(B, N, 3)).astype(np.float32)
+            out.append(
+                {
+                    "points": pc,
+                    "labels": rng.integers(0, 20, size=(B, N)).astype(np.int32),
+                    "weights": np.ones((B, N), np.float32),
+                }
+            )
+        return out
+
+    def test_matches_sequential_single_device(self):
+        from pointnet2_scannet_tpu.parallel import make_fused_train_step
+
+        K = 3
+        batches = self._batches(K)
+        state, _ = make_state_and_batch(seed=5)
+        mesh = make_mesh(1)
+        key = jax.random.key(1)
+
+        seq = make_parallel_train_step(mesh, num_classes=20, donate=False)
+        st = state
+        seq_losses = []
+        for b in batches:
+            st, stats = seq(st, jax.device_put(b), key)
+            seq_losses.append(float(stats["loss"]))
+
+        fused = make_fused_train_step(mesh, num_classes=20, donate=False)
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+        fst, fstats = fused(state, jax.device_put(stacked), key)
+
+        np.testing.assert_allclose(
+            np.asarray(fstats["loss"]), np.asarray(seq_losses), rtol=1e-5
+        )
+        assert int(fst.step) == int(st.step) == K
+        for a, b in zip(
+            jax.tree_util.tree_leaves(st.params),
+            jax.tree_util.tree_leaves(fst.params),
+        ):
+            # identical op sequence; only compilation differences (fusion
+            # order) separate the two — far below one lr-sized Adam update
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(st.batch_stats),
+            jax.tree_util.tree_leaves(fst.batch_stats),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
+    def test_matches_sequential_shardmap(self):
+        import dataclasses
+
+        from pointnet2_scannet_tpu.models.pointnet2 import PointNet2SemSeg, ssg_spec
+        from pointnet2_scannet_tpu.parallel import (
+            fused_batch_sharding,
+            make_fused_train_step,
+        )
+        from pointnet2_scannet_tpu.parallel.step import make_shardmap_train_step
+
+        K = 2
+        batches = self._batches(K, seed=13)
+        for b in batches:
+            b["row_mask"] = np.ones((B,), np.float32)
+        mesh = make_mesh(8)
+        spec = dataclasses.replace(ssg_spec(20, 0), dropout=0.0)
+        model = PointNet2SemSeg(spec=spec, bn_axis_name="dp")
+        tx = ts.make_optimizer(ts.make_lr_schedule(1e-3, 100, 0.7, 10))
+        state = ts.create_train_state(
+            model, jax.random.key(0), batches[0]["points"][:1], tx
+        )
+        state = jax.device_put(state, replicated(mesh))
+        key = jax.device_put(jax.random.key(1), replicated(mesh))
+
+        seq = make_shardmap_train_step(mesh, num_classes=20, donate=False)
+        st = state
+        seq_losses = []
+        for b in batches:
+            st, stats = seq(st, jax.device_put(b, batch_sharding(mesh)), key)
+            seq_losses.append(float(stats["loss"]))
+
+        fused = make_fused_train_step(
+            mesh, num_classes=20, axis_name="dp", donate=False
+        )
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+        fst, fstats = fused(
+            state, jax.device_put(stacked, fused_batch_sharding(mesh)), key
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(fstats["loss"]), np.asarray(seq_losses), rtol=1e-5
+        )
+        assert int(fst.step) == K
+        for a, b in zip(
+            jax.tree_util.tree_leaves(st.params),
+            jax.tree_util.tree_leaves(fst.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

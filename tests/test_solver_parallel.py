@@ -129,3 +129,49 @@ class TestTrainCLISelectsShardMap:
         assert "parallel strategy: shard_map_dp" in proc.stdout
         run_dirs = list(tmp_path.glob("*_SMDP"))
         assert run_dirs and (run_dirs[0] / "model_last.msgpack").exists()
+
+
+class TestFusedSolver:
+    """TrainConfig.fused_steps > 1: the Solver dispatches K-step fused-scan
+    groups plus per-batch leftovers, with identical training math."""
+
+    def _solver(self, tmp_path, fused_steps: int, sub: str):
+        cfg = RunConfig(
+            tag="t",
+            data=DataConfig(npoints=1024, use_color=True, use_normal=True),
+            train=TrainConfig(
+                batch_size=2, epochs=1, verbose=100, fused_steps=fused_steps
+            ),
+        )
+        store = make_synthetic_store(7, seed=0, n_points=4096)
+        ds = ChunkedSceneDataset(store, cfg.data, phase="train", seed=0)
+        model = models.get_model(
+            num_classes=20, is_msg=False, input_channels=cfg.data.input_channels
+        )
+        out = tmp_path / sub
+        out.mkdir()
+        return Solver(model, ds, None, cfg, out, mesh=make_mesh(1))
+
+    def test_fused_epoch_matches_unfused(self, tmp_path):
+        # 7 scenes / batch 2 / drop_last -> 3 steps; fused_steps=2 runs one
+        # fused (K=2) group + one per-batch leftover
+        fused = self._solver(tmp_path, fused_steps=2, sub="fused")
+        assert fused._fused_train_step is not None
+        fused._regenerate()
+        stats_fused = fused._run_train_epoch(0, 1, 100, __import__("time").time())
+        assert int(np.asarray(fused.state.step)) == 3
+
+        plain = self._solver(tmp_path, fused_steps=1, sub="plain")
+        assert plain._fused_train_step is None
+        plain._regenerate()
+        stats_plain = plain._run_train_epoch(0, 1, 100, __import__("time").time())
+        assert int(np.asarray(plain.state.step)) == 3
+
+        # same chunks (same dataset seed), same per-step dropout keys
+        # (train_step folds state.step) -> the epochs are the same math
+        np.testing.assert_allclose(
+            stats_fused["loss"], stats_plain["loss"], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            stats_fused["point_acc"], stats_plain["point_acc"], atol=1e-6
+        )
