@@ -87,6 +87,7 @@ class WholeSceneEvaluator:
         num_classes: int = NUM_CLASSES,
         ring_slots: int | None = None,
         queue_depth: int = 2,
+        mesh=None,
     ):
         """ring_slots: resident scene slots in the device ring (W). Reusing
         a slot whose scene still has columns in flight forces a pipeline
@@ -94,12 +95,30 @@ class WholeSceneEvaluator:
         from the dataset's per-scene column estimates so steady-state
         evaluation never flushes (memory-capped; ~n_pad x C x 4 bytes of HBM
         per slot). queue_depth: in-flight device batches. Both are exposed
-        on the eval/visualize CLIs as --eval_ring / --eval_depth."""
-        self.variables = variables
+        on the eval/visualize CLIs as --eval_ring / --eval_depth.
+
+        mesh: a dp jax.sharding.Mesh to data-parallelize eval over: the
+        scene ring and params replicate onto every device, batch rows split
+        over the dp axis, and the forward runs as a shard_map so each chip
+        traces its own Pallas geometry kernels on its row shard (the same
+        rationale as the training path, parallel/step.py). Eval rows are
+        independent (BN uses running stats), so the sharded preds are
+        bit-identical to single-device (tests/test_evaluator.py)."""
         self.batch_size = batch_size
         self.num_classes = num_classes
         self.ring_slots = ring_slots
         self.queue_depth = queue_depth
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if self.mesh is not None:
+            if batch_size % self.mesh.size != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide over the "
+                    f"{self.mesh.size}-device eval mesh"
+                )
+            from pointnet2_scannet_tpu.parallel.mesh import replicated
+
+            variables = jax.device_put(variables, replicated(self.mesh))
+        self.variables = variables
 
         self._apply_fn = apply_fn
 
@@ -111,7 +130,21 @@ class WholeSceneEvaluator:
             logits = apply_fn(variables, points, train=False)
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-        self._fwd = jax.jit(fwd)
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            axis = self.mesh.axis_names[0]
+            self._fwd = jax.jit(
+                jax.shard_map(
+                    fwd,
+                    mesh=self.mesh,
+                    in_specs=(P(), P(axis)),
+                    out_specs=P(axis),
+                    check_vma=False,
+                )
+            )
+        else:
+            self._fwd = jax.jit(fwd)
         self._idx_cache: dict = {}  # (W, n_pad, C) -> (fwd_idx, update_slot)
 
     def _pick_ring(self, dataset, n_pad: int, C: int, B: int, depth: int) -> int:
@@ -146,15 +179,12 @@ class WholeSceneEvaluator:
     def _build_indexed(self, W: int, n_pad: int, C: int):
         if (W, n_pad, C) in self._idx_cache:
             return self._idx_cache[(W, n_pad, C)]
-        import functools
-
         import jax.numpy as jnp
         from jax import lax
 
         apply_fn = self._apply_fn
 
-        @jax.jit
-        def fwd_idx(variables, stack, idx):
+        def fwd_idx_core(variables, stack, idx):
             # stack (W, n_pad, C) resident scenes; idx (B, npoints) int32
             # global rows (slot * n_pad + point). The gather rebuilds the
             # column batch ON DEVICE, so only ~0.5 MB of indices rides the
@@ -164,9 +194,43 @@ class WholeSceneEvaluator:
             logits = apply_fn(variables, pts, train=False)
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def update_slot(stack, scene, slot):
-            return lax.dynamic_update_slice(stack, scene[None], (slot, 0, 0))
+        if self.mesh is not None:
+            # dp eval: ring + params replicated, index rows sharded; each
+            # device gathers and forwards its own row shard (shard_map keeps
+            # the Pallas geometry kernels per-device, like the train path)
+            from jax.sharding import PartitionSpec as P
+
+            from pointnet2_scannet_tpu.parallel.mesh import replicated
+
+            axis = self.mesh.axis_names[0]
+            fwd_idx = jax.jit(
+                jax.shard_map(
+                    fwd_idx_core,
+                    mesh=self.mesh,
+                    in_specs=(P(), P(), P(axis)),
+                    out_specs=P(axis),
+                    check_vma=False,
+                )
+            )
+            rep = replicated(self.mesh)
+
+            def update_core(stack, scene, slot):
+                return lax.dynamic_update_slice(stack, scene[None], (slot, 0, 0))
+
+            update_slot = jax.jit(
+                update_core,
+                in_shardings=(rep, rep, rep),
+                out_shardings=rep,
+                donate_argnums=(0,),
+            )
+        else:
+            fwd_idx = jax.jit(fwd_idx_core)
+            update_slot = jax.jit(
+                lambda stack, scene, slot: lax.dynamic_update_slice(
+                    stack, scene[None], (slot, 0, 0)
+                ),
+                donate_argnums=(0,),
+            )
 
         self._idx_cache[(W, n_pad, C)] = (fwd_idx, update_slot)
         return fwd_idx, update_slot
@@ -259,6 +323,10 @@ class WholeSceneEvaluator:
         self.last_ring_slots = W  # introspection/tests
         fwd_idx, update_slot = self._build_indexed(W, n_pad, C)
         stack = jnp.zeros((W, n_pad, C), jnp.float32)
+        if self.mesh is not None:
+            from pointnet2_scannet_tpu.parallel.mesh import replicated
+
+            stack = jax.device_put(stack, replicated(self.mesh))
 
         active: list[dict] = []  # scenes with columns still in flight/buffered
         futures: list = []

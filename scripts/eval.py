@@ -62,11 +62,21 @@ def evaluate(args) -> None:
         batch_size=args.batch_size,
         ring_slots=args.eval_ring,
         queue_depth=args.eval_depth,
+        mesh=_eval_mesh(args),
     )
     report = evaluator.evaluate(dataset)
     print()
     print(report.format_table())
     (run_dir / "eval_report.txt").write_text(report.format_table())
+
+
+def _eval_mesh(args):
+    """dp mesh for --num_devices > 1 (None/1 = plain single-device eval)."""
+    if getattr(args, "num_devices", None) in (None, 0, 1):
+        return None
+    from pointnet2_scannet_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(args.num_devices, batch_size=args.batch_size)
 
 
 def parse_args(argv=None):
@@ -87,6 +97,12 @@ def parse_args(argv=None):
     p.add_argument(
         "--eval_depth", type=int, default=2,
         help="in-flight device batches in the async eval queue",
+    )
+    p.add_argument(
+        "--num_devices", type=int, default=None,
+        help="data-parallel eval width: batch rows shard over a dp mesh, "
+        "the scene ring replicates, and each device runs its own Pallas "
+        "geometry kernels on its row shard (1 = single device)",
     )
     return p.parse_args(argv)
 

@@ -60,6 +60,7 @@ def visualize(args) -> None:
     evaluator = WholeSceneEvaluator(
         model.apply, variables, batch_size=args.batch_size,
         ring_slots=args.eval_ring, queue_depth=args.eval_depth,
+        mesh=_eval_mesh(args),
     )
 
     preds_dir = run_dir / "preds"
@@ -78,6 +79,15 @@ def visualize(args) -> None:
         print(f"wrote {out} ({len(coords_u)} points)")
 
 
+def _eval_mesh(args):
+    """dp mesh for --num_devices > 1 (None/1 = plain single-device eval)."""
+    if getattr(args, "num_devices", None) in (None, 0, 1):
+        return None
+    from pointnet2_scannet_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(args.num_devices, batch_size=args.batch_size)
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--folder", type=str, required=True, help="run output dir")
@@ -88,6 +98,9 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--eval_ring", type=int, default=None,
                    help="resident scene slots in the device ring (default: auto)")
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="data-parallel eval width (batch rows shard over a "
+                   "dp mesh; 1 = single device)")
     p.add_argument("--eval_depth", type=int, default=2,
                    help="in-flight device batches in the async queue")
     return p.parse_args(argv)

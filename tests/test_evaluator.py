@@ -208,3 +208,73 @@ class TestWholeSceneEvaluator:
         np.testing.assert_allclose(report.point_acc, want.point_acc)
         for a, b in zip(report.scenes, seq):
             np.testing.assert_array_equal(a.point_miou, b.point_miou)
+
+
+class TestMeshEvaluator:
+    """dp-sharded eval (mesh=...): batch rows split over the mesh, scene
+    ring + params replicated — eval rows are independent (running-stat BN),
+    so the sharded evaluator must reproduce the single-device one exactly."""
+
+    def test_dp_mesh_matches_single_device(self):
+        from pointnet2_scannet_tpu.parallel import make_mesh
+
+        store = make_synthetic_store(3, n_points=12_000)
+        cfg = DataConfig(npoints=256, use_color=True)
+        apply = lambda v, pc, train=False: perfect_label_free_apply(pc)  # noqa: E731
+
+        single = WholeSceneEvaluator(apply, {}, batch_size=8)
+        want = single.evaluate(
+            WholeSceneDataset(store, cfg, seed=0), verbose=False
+        )
+
+        mesh = make_mesh(8)
+        sharded = WholeSceneEvaluator(apply, {}, batch_size=8, mesh=mesh)
+        got = sharded.evaluate(
+            WholeSceneDataset(store, cfg, seed=0), verbose=False
+        )
+
+        assert [r.scene_id for r in got.scenes] == [
+            r.scene_id for r in want.scenes
+        ]
+        np.testing.assert_array_equal(got.point_acc, want.point_acc)
+        np.testing.assert_array_equal(got.voxel_miou, want.voxel_miou)
+        np.testing.assert_array_equal(
+            got.per_class_voxel_miou, want.per_class_voxel_miou
+        )
+        for a, b in zip(got.scenes, want.scenes):
+            np.testing.assert_array_equal(a.point_miou, b.point_miou)
+            np.testing.assert_array_equal(a.voxel_acc_per_class, b.voxel_acc_per_class)
+
+    def test_batch_not_divisible_rejected(self):
+        from pointnet2_scannet_tpu.parallel import make_mesh
+
+        with pytest.raises(ValueError, match="must divide"):
+            WholeSceneEvaluator(perfect_apply, {}, batch_size=6, mesh=make_mesh(8))
+
+    def test_real_model_dp_mesh_matches_single(self):
+        # the full flagship model through the shard_map eval path
+        import jax
+
+        from pointnet2_scannet_tpu import models
+        from pointnet2_scannet_tpu.parallel import make_mesh
+
+        store = make_synthetic_store(2, n_points=6_000)
+        cfg = DataConfig(npoints=512, use_color=True, use_normal=True)
+        model = models.get_model(20, is_msg=False, input_channels=6)
+        pc = np.zeros((1, 512, 9), np.float32)
+        variables = jax.jit(
+            lambda: model.init(jax.random.key(0), pc, train=False)
+        )()
+
+        single = WholeSceneEvaluator(model.apply, variables, batch_size=8)
+        want = single.evaluate(
+            WholeSceneDataset(store, cfg, seed=0), verbose=False
+        )
+        sharded = WholeSceneEvaluator(
+            model.apply, variables, batch_size=8, mesh=make_mesh(8)
+        )
+        got = sharded.evaluate(
+            WholeSceneDataset(store, cfg, seed=0), verbose=False
+        )
+        np.testing.assert_array_equal(got.point_acc, want.point_acc)
+        np.testing.assert_array_equal(got.voxel_miou, want.voxel_miou)
