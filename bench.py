@@ -133,7 +133,10 @@ def time_train(
         state, stats = step(state, batch, dropout_rng)
     float(np.asarray(stats["loss"]).reshape(-1)[-1])
 
-    calls = max(steps // fused, 1)
+    # at least 4 timed dispatches: with fused=8 and the default 20 steps the
+    # quotient would be 2, and a single slow tunnel dispatch then skews the
+    # mean by 25% (observed under host contention)
+    calls = max(steps // fused, 4 if fused > 1 else 1)
     t0 = time.perf_counter()
     for _ in range(calls):
         state, stats = step(state, batch, dropout_rng)
