@@ -122,13 +122,17 @@ class WholeSceneEvaluator:
 
         self._apply_fn = apply_fn
 
-        def fwd(variables, points):
-            # argmax on device: fetching int8-sized preds instead of the full
-            # (B, N, C) logits cuts the device->host transfer ~20x
-            import jax.numpy as jnp
+        # argmax on device, carried home at the narrowest width that holds a
+        # class index: vs fetching (B, N, C) f32 logits this cuts the
+        # device->host transfer 80x (the tunnel link is the eval bottleneck)
+        import jax.numpy as jnp
 
+        self._pred_dtype = jnp.int8 if num_classes <= 127 else jnp.int32
+        pred_dtype = self._pred_dtype
+
+        def fwd(variables, points):
             logits = apply_fn(variables, points, train=False)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return jnp.argmax(logits, axis=-1).astype(pred_dtype)
 
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
@@ -192,7 +196,7 @@ class WholeSceneEvaluator:
             # (the tunnel moves ~60 MB/s — eval was transfer-bound).
             pts = jnp.take(stack.reshape(W * n_pad, C), idx, axis=0)
             logits = apply_fn(variables, pts, train=False)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return jnp.argmax(logits, axis=-1).astype(self._pred_dtype)
 
         if self.mesh is not None:
             # dp eval: ring + params replicated, index rows sharded; each
@@ -297,24 +301,6 @@ class WholeSceneEvaluator:
 
         import jax.numpy as jnp
 
-        q: queue.Queue = queue.Queue(maxsize=4)
-        sentinel = object()
-        error: list[BaseException] = []
-
-        def producer():
-            try:
-                for sid, (feats_all, col_idx, labels, weights) in (
-                    dataset.iter_scenes_indexed()
-                ):
-                    coords = feats_all[:, :3][col_idx]  # (S, npoints, 3)
-                    q.put((sid, feats_all, col_idx, coords, labels, weights))
-            except BaseException as e:  # noqa: BLE001 - re-raised below
-                error.append(e)
-            finally:
-                q.put(sentinel)
-
-        threading.Thread(target=producer, daemon=True).start()
-
         B = self.batch_size
         depth = self.queue_depth  # in-flight device batches
         n_pad = dataset.max_points()
@@ -322,11 +308,46 @@ class WholeSceneEvaluator:
         W = self._pick_ring(dataset, n_pad, C, B, depth)
         self.last_ring_slots = W  # introspection/tests
         fwd_idx, update_slot = self._build_indexed(W, n_pad, C)
-        stack = jnp.zeros((W, n_pad, C), jnp.float32)
+        rep = None
         if self.mesh is not None:
             from pointnet2_scannet_tpu.parallel.mesh import replicated
 
-            stack = jax.device_put(stack, replicated(self.mesh))
+            rep = replicated(self.mesh)
+        stack = jnp.zeros((W, n_pad, C), jnp.float32)
+        if rep is not None:
+            stack = jax.device_put(stack, rep)
+
+        q: queue.Queue = queue.Queue(maxsize=4)
+        sentinel = object()
+        error: list[BaseException] = []
+
+        def producer():
+            # The scene upload (n_pad x C f32, ~5 MB at 100k pts) happens
+            # HERE, on the producer thread, so the host->device copy overlaps
+            # the main loop's forward dispatches instead of serializing with
+            # them (it was the largest critical-path item per scene: the
+            # tunnel moves ~60 MB/s).
+            try:
+                for sid, (feats_all, col_idx, labels, weights) in (
+                    dataset.iter_scenes_indexed()
+                ):
+                    coords = feats_all[:, :3][col_idx]  # (S, npoints, 3)
+                    padded = feats_all
+                    if feats_all.shape[0] < n_pad:
+                        padded = np.zeros((n_pad, C), np.float32)
+                        padded[: feats_all.shape[0]] = feats_all
+                    dev = (
+                        jax.device_put(padded, rep)
+                        if rep is not None
+                        else jax.device_put(padded)
+                    )
+                    q.put((sid, dev, col_idx, coords, labels, weights))
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        threading.Thread(target=producer, daemon=True).start()
 
         active: list[dict] = []  # scenes with columns still in flight/buffered
         futures: list = []
@@ -410,7 +431,7 @@ class WholeSceneEvaluator:
                     if error:
                         raise error[0]
                     break
-                scene_id, feats_all, col_idx, coords, labels, weights = item
+                scene_id, dev_scene, col_idx, coords, labels, weights = item
                 slot = seq % W
                 # slot reuse safety: nothing buffered or in flight may still
                 # reference the scene being evicted from this slot
@@ -419,12 +440,7 @@ class WholeSceneEvaluator:
                     dispatch(pool, flush=True)
                     while inflight:
                         drain_oldest(pool)
-                n = feats_all.shape[0]
-                padded = feats_all
-                if n < n_pad:
-                    padded = np.zeros((n_pad, C), np.float32)
-                    padded[:n] = feats_all
-                stack = update_slot(stack, jnp.asarray(padded), slot)
+                stack = update_slot(stack, dev_scene, slot)
                 S = col_idx.shape[0]
                 scene = {
                     "id": scene_id,
