@@ -62,6 +62,18 @@ def _ball_query_kernel(xyz_ref, q_ref, out_ref, *, radius: float, nsample: int):
     lax.fori_loop(0, nsample, body, init)
 
 
+def _auto_tile_m(M: int, N: int) -> int:
+    """Query-tile rows per program, shrunk so the (TM, N) working set stays
+    inside the known-good VMEM envelope (TM*N <= 128*8192, ~4 MB per live
+    f32 array; the kernel keeps ~2-3 such arrays live). Halving preserves
+    divisibility of M as long as the tile stays even, so 16k/32k-point
+    clouds get TM=64/32 instead of a VMEM-overflowing 128."""
+    tile_m = min(M, 128)
+    while tile_m % 2 == 0 and tile_m * N > 128 * 8192:
+        tile_m //= 2
+    return tile_m
+
+
 @functools.partial(
     jax.jit, static_argnames=("radius", "nsample", "tile_m", "interpret")
 )
@@ -78,7 +90,7 @@ def ball_query_pallas(
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
     if tile_m is None:
-        tile_m = min(M, 128)
+        tile_m = _auto_tile_m(M, N)
     assert N % 128 == 0 and M % tile_m == 0, (N, M, tile_m)
     kpad = max(((nsample + 127) // 128) * 128, 128)
     xyz_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))  # (B, 3, N)
@@ -159,7 +171,7 @@ def ball_query_multi_pallas(
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
     if tile_m is None:
-        tile_m = min(M, 128)
+        tile_m = _auto_tile_m(M, N)
     assert N % 128 == 0 and M % tile_m == 0, (N, M, tile_m)
     kpads = [max(((k + 127) // 128) * 128, 128) for k in nsamples]
     xyz_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))

@@ -56,6 +56,39 @@ class TestBallQueryPallas:
         want = oracles.ball_query_oracle(0.3, 16, xyz, q)
         np.testing.assert_array_equal(got, want)
 
+    def test_auto_tile_shrinks_for_large_n(self):
+        # large point clouds must shrink the (TM, N) query tile to stay in
+        # the VMEM envelope; halving preserves divisibility of M
+        from pointnet2_scannet_tpu.ops.pallas.ball_query_kernel import (
+            _auto_tile_m,
+        )
+
+        assert _auto_tile_m(1024, 8192) == 128
+        assert _auto_tile_m(1024, 16384) == 64
+        assert _auto_tile_m(1024, 32768) == 32
+        assert _auto_tile_m(64, 8192) == 64
+        for M, N in [(1024, 16384), (96, 32768), (128, 131072)]:
+            tm = _auto_tile_m(M, N)
+            assert M % tm == 0 and tm * N <= 128 * 8192, (M, N, tm)
+
+    def test_large_n_tile_parity_interpret(self):
+        # N big enough that the auto tile drops below min(M, 128)
+        from pointnet2_scannet_tpu.ops.pallas.ball_query_kernel import (
+            _auto_tile_m,
+            ball_query_pallas,
+        )
+
+        N = 16384
+        assert _auto_tile_m(16, N) == 16  # M <= 128 keeps full tile...
+        xyz = RNG.uniform(0, 1.5, size=(1, N, 3)).astype(np.float32)
+        q = xyz[:, :128].copy()
+        assert _auto_tile_m(128, N) == 64  # ...but M=128 halves once
+        got = np.asarray(
+            ball_query_pallas(0.3, 8, jnp.asarray(xyz), jnp.asarray(q), interpret=True)
+        )
+        want = oracles.ball_query_oracle(0.3, 8, xyz, q)
+        np.testing.assert_array_equal(got, want)
+
     def test_empty_ball_zeros(self):
         from pointnet2_scannet_tpu.ops.pallas.ball_query_kernel import (
             ball_query_pallas,
