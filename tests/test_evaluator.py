@@ -46,6 +46,22 @@ class TestWholeSceneEvaluator:
         np.testing.assert_allclose(r.point_miou[seen], 1.0)
         np.testing.assert_allclose(r.voxel_miou[r.miou_mask.astype(bool)], 1.0)
 
+    def test_pred_dtype_tracks_num_classes(self):
+        # class indices ride home at int8 when they fit (20 NYU classes);
+        # a wider label space falls back to int32 with identical results
+        import jax.numpy as jnp
+
+        feats, labels, weights = self.make_data()
+        ev8 = WholeSceneEvaluator(perfect_apply, {}, batch_size=2)
+        assert ev8._pred_dtype == jnp.int8
+        ev32 = WholeSceneEvaluator(
+            perfect_apply, {}, batch_size=2, num_classes=200
+        )
+        assert ev32._pred_dtype == jnp.int32
+        np.testing.assert_array_equal(
+            ev8.predict_scene(feats), ev32.predict_scene(feats)
+        )
+
     def test_padded_last_minibatch(self):
         # 5 column stacks with batch_size 2 -> last minibatch padded
         feats, labels, weights = self.make_data()
