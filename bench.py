@@ -252,6 +252,30 @@ def main(scale: bool = False) -> None:
                         }
                     )
                 )
+        # chunk-size scaling at constant points/step (DESIGN.md §Chunk-size
+        # scaling): bigger chunks amortize the sub-SA1 pyramid
+        global NPOINTS
+        n8192 = NPOINTS
+        try:
+            for npts, bs in ((16384, 16), (32768, 8)):
+                NPOINTS = npts
+                for label, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+                    m = models.get_model(
+                        num_classes=20, is_msg=False, input_channels=6, dtype=dt
+                    )
+                    s = time_train(m, batch_size=bs)
+                    print(
+                        json.dumps(
+                            {
+                                "metric": f"scale_ssg_{label}_b{bs}_n{npts}",
+                                "value": round(bs * npts / s, 1),
+                                "unit": "points/sec",
+                                "step_ms": round(s * 1e3, 2),
+                            }
+                        )
+                    )
+        finally:
+            NPOINTS = n8192
 
 
 if __name__ == "__main__":
