@@ -78,7 +78,11 @@ def fwd_matmul_flops(spec, B: int, N: int) -> float:
 
 
 def time_train(
-    model, steps: int = STEPS, batch_size: int = BATCH, fused: int = 1
+    model,
+    steps: int = STEPS,
+    batch_size: int = BATCH,
+    fused: int = 1,
+    npoints: int | None = None,
 ) -> float:
     """Settled seconds per train step.
 
@@ -100,14 +104,15 @@ def time_train(
     )
 
     mesh = make_mesh()
+    npoints = NPOINTS if npoints is None else npoints
     rng = np.random.default_rng(0)
-    pc = rng.uniform(0.0, 1.5, size=(batch_size, NPOINTS, 9)).astype(np.float32)
+    pc = rng.uniform(0.0, 1.5, size=(batch_size, npoints, 9)).astype(np.float32)
     tx = ts.make_optimizer(ts.make_lr_schedule(1e-3, 100, 0.7, 100))
     state = ts.create_train_state(model, jax.random.key(0), pc[:1], tx)
     raw_batch = {
         "points": pc,
-        "labels": rng.integers(0, 20, size=(batch_size, NPOINTS)).astype(np.int32),
-        "weights": np.ones((batch_size, NPOINTS), np.float32),
+        "labels": rng.integers(0, 20, size=(batch_size, npoints)).astype(np.int32),
+        "weights": np.ones((batch_size, npoints), np.float32),
     }
     if fused > 1:
         raw_batch = {k: np.stack([v] * fused) for k, v in raw_batch.items()}
@@ -254,28 +259,22 @@ def main(scale: bool = False) -> None:
                 )
         # chunk-size scaling at constant points/step (DESIGN.md §Chunk-size
         # scaling): bigger chunks amortize the sub-SA1 pyramid
-        global NPOINTS
-        n8192 = NPOINTS
-        try:
-            for npts, bs in ((16384, 16), (32768, 8)):
-                NPOINTS = npts
-                for label, dt in (("f32", None), ("bf16", jnp.bfloat16)):
-                    m = models.get_model(
-                        num_classes=20, is_msg=False, input_channels=6, dtype=dt
+        for npts, bs in ((16384, 16), (32768, 8)):
+            for label, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+                m = models.get_model(
+                    num_classes=20, is_msg=False, input_channels=6, dtype=dt
+                )
+                s = time_train(m, batch_size=bs, npoints=npts)
+                print(
+                    json.dumps(
+                        {
+                            "metric": f"scale_ssg_{label}_b{bs}_n{npts}",
+                            "value": round(bs * npts / s, 1),
+                            "unit": "points/sec",
+                            "step_ms": round(s * 1e3, 2),
+                        }
                     )
-                    s = time_train(m, batch_size=bs)
-                    print(
-                        json.dumps(
-                            {
-                                "metric": f"scale_ssg_{label}_b{bs}_n{npts}",
-                                "value": round(bs * npts / s, 1),
-                                "unit": "points/sec",
-                                "step_ms": round(s * 1e3, 2),
-                            }
-                        )
-                    )
-        finally:
-            NPOINTS = n8192
+                )
 
 
 if __name__ == "__main__":
