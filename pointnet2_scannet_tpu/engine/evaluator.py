@@ -262,11 +262,12 @@ class WholeSceneEvaluator:
         preds_f = preds.reshape(-1).astype(np.int64)
         targets_f = labels.reshape(-1).astype(np.int64)
         weights_f = weights.reshape(-1)
-        pa, pa_pc, va, va_pc, cali, acc_mask = M.compute_acc(
-            coords, preds_f, targets_f, weights_f, self.num_classes
-        )
-        pm, vm, miou_mask = M.compute_miou(
-            coords, preds_f, targets_f, weights_f, self.num_classes
+        # fused: one dedup + voxelization for both metric families (the
+        # per-scene host metrics are serial on single-core eval hosts)
+        (pa, pa_pc, va, va_pc, cali, acc_mask), (pm, vm, miou_mask) = (
+            M.compute_scene_metrics(
+                coords, preds_f, targets_f, weights_f, self.num_classes
+            )
         )
         return SceneResult(
             scene_id, pa, pa_pc, va, va_pc, cali, pm, vm, acc_mask, miou_mask

@@ -55,25 +55,24 @@ def _per_class_counts(preds, targets, num_classes):
     return seen, correct
 
 
-def compute_acc(coords, preds, targets, weights, num_classes: int = NUM_CLASSES):
-    """Point/voxel/calibrated accuracies (parity with eval.py:48-99).
-
-    Returns:
-      (pointacc, pointacc_per_class, voxacc, voxacc_per_class, voxcaliacc,
-       seen_mask) — per-class arrays are zero for unseen classes and the mask
-      marks classes present in the targets.
-    """
+def _dedup_and_voxelize(coords, preds, targets, weights):
+    """The shared (and expensive) front half of every scene metric: unique
+    coordinates, seen classes, and the 0.02m voxel [target, pred] labels."""
     coords, preds, targets, weights = filter_points(coords, preds, targets, weights)
     seen_classes = np.unique(targets)
+    _, uvlabel, _ = surface_voxel_labels(
+        coords, np.stack([targets, preds], axis=1), res=0.02
+    )
+    return preds, targets, seen_classes, uvlabel
+
+
+def _acc_from(preds, targets, seen_classes, uvlabel, num_classes):
     mask = np.zeros(num_classes)
     mask[seen_classes] = 1
 
     pointacc = np.sum(preds == targets) / float(targets.shape[0])
     seen_pt, correct_pt = _per_class_counts(preds, targets, num_classes)
 
-    _, uvlabel, _ = surface_voxel_labels(
-        coords, np.stack([targets, preds], axis=1), res=0.02
-    )
     voxacc = np.sum(uvlabel[:, 0] == uvlabel[:, 1]) / float(uvlabel.shape[0])
     seen_vox, correct_vox = _per_class_counts(uvlabel[:, 1], uvlabel[:, 0], num_classes)
 
@@ -94,19 +93,9 @@ def compute_acc(coords, preds, targets, weights, num_classes: int = NUM_CLASSES)
     return pointacc, pointacc_per_class, voxacc, voxacc_per_class, voxcaliacc, mask
 
 
-def compute_miou(coords, preds, targets, weights, num_classes: int = NUM_CLASSES):
-    """Point and voxel per-class IoU (parity with eval.py:101-124).
-
-    Returns (pointmiou, voxmiou, seen_mask) with zeros for unseen classes.
-    """
-    coords, preds, targets, weights = filter_points(coords, preds, targets, weights)
-    seen_classes = np.unique(targets)
+def _miou_from(preds, targets, seen_classes, uvlabel, num_classes):
     mask = np.zeros(num_classes)
     mask[seen_classes] = 1
-
-    _, uvlabel, _ = surface_voxel_labels(
-        coords, np.stack([targets, preds], axis=1), res=0.02
-    )
 
     def iou(p, t):
         out = np.zeros(num_classes)
@@ -117,6 +106,52 @@ def compute_miou(coords, preds, targets, weights, num_classes: int = NUM_CLASSES
         return out
 
     return iou(preds, targets), iou(uvlabel[:, 1], uvlabel[:, 0]), mask
+
+
+def compute_acc(coords, preds, targets, weights, num_classes: int = NUM_CLASSES):
+    """Point/voxel/calibrated accuracies (parity with eval.py:48-99).
+
+    Returns:
+      (pointacc, pointacc_per_class, voxacc, voxacc_per_class, voxcaliacc,
+       seen_mask) — per-class arrays are zero for unseen classes and the mask
+      marks classes present in the targets.
+    """
+    preds, targets, seen_classes, uvlabel = _dedup_and_voxelize(
+        coords, preds, targets, weights
+    )
+    return _acc_from(preds, targets, seen_classes, uvlabel, num_classes)
+
+
+def compute_miou(coords, preds, targets, weights, num_classes: int = NUM_CLASSES):
+    """Point and voxel per-class IoU (parity with eval.py:101-124).
+
+    Returns (pointmiou, voxmiou, seen_mask) with zeros for unseen classes.
+    """
+    preds, targets, seen_classes, uvlabel = _dedup_and_voxelize(
+        coords, preds, targets, weights
+    )
+    return _miou_from(preds, targets, seen_classes, uvlabel, num_classes)
+
+
+def compute_scene_metrics(
+    coords, preds, targets, weights, num_classes: int = NUM_CLASSES
+):
+    """compute_acc + compute_miou sharing ONE dedup + voxelization.
+
+    The two reference functions (eval.py:48-99, 101-124) each redo the
+    coordinate dedup and the 0.02m voxelization on identical inputs — the
+    expensive half of per-scene metrics (which are a SERIAL cost on
+    single-core eval hosts; the evaluator's metric pool can only hide them
+    when cores are free). Returns (acc_tuple, miou_tuple), each exactly
+    what the corresponding standalone function returns (parity-tested).
+    """
+    preds, targets, seen_classes, uvlabel = _dedup_and_voxelize(
+        coords, preds, targets, weights
+    )
+    return (
+        _acc_from(preds, targets, seen_classes, uvlabel, num_classes),
+        _miou_from(preds, targets, seen_classes, uvlabel, num_classes),
+    )
 
 
 # ----------------------------- device tier ---------------------------------

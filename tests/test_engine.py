@@ -126,6 +126,26 @@ class TestMetricsParity:
         self.preds = np.where(RNG.uniform(size=n) < 0.7, self.targets, RNG.integers(0, 6, n))
         self.weights = np.ones(n, np.float32)
 
+    def test_fused_scene_metrics_match_standalone(self):
+        # compute_scene_metrics shares one dedup+voxelization; outputs must
+        # equal the standalone functions exactly
+        from pointnet2_scannet_tpu.engine.metrics import (
+            compute_miou,
+            compute_scene_metrics,
+        )
+
+        acc, miou = compute_scene_metrics(
+            self.coords, self.preds, self.targets, self.weights, num_classes=6
+        )
+        want_acc = compute_acc(
+            self.coords, self.preds, self.targets, self.weights, num_classes=6
+        )
+        want_miou = compute_miou(
+            self.coords, self.preds, self.targets, self.weights, num_classes=6
+        )
+        for got, want in list(zip(acc, want_acc)) + list(zip(miou, want_miou)):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_compute_acc_against_naive(self):
         pa, pa_pc, va, va_pc, cali, mask = compute_acc(
             self.coords, self.preds, self.targets, self.weights, num_classes=6
