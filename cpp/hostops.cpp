@@ -18,6 +18,7 @@
 // pointnet2_scannet_tpu/utils/native.py with a numpy fallback when the
 // library has not been compiled.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -192,6 +193,30 @@ int64_t unique_first_occurrence(const int64_t* keys, int64_t n,
     }
   }
   return count;
+}
+
+// Fused voxel-id computation + first-occurrence unique for the surface-voxel
+// metrics (utils/voxel.py, reference lib/pc_util.py:39-51). The key formula
+// replicates numpy's dtype promotion EXACTLY: (p - coordmin) subtracted in
+// float32, divided by the python-float res in double, ceil'd in double;
+// id = v0 + v1*nx + v2*(nx*ny) accumulated left-to-right in double and
+// truncated to int64. nvox are the ceil'd grid dims as double[3].
+int64_t voxelize_unique(const float* coords, int64_t n, double res,
+                        const float* coordmin, const double* nvox,
+                        int64_t* out_idx, int64_t* out_keys) {
+  std::vector<int64_t> keys((size_t)n);
+  const double nx = nvox[0];
+  const double nxny = nvox[0] * nvox[1];
+  for (int64_t i = 0; i < n; ++i) {
+    const float dx = coords[i * 3] - coordmin[0];
+    const float dy = coords[i * 3 + 1] - coordmin[1];
+    const float dz = coords[i * 3 + 2] - coordmin[2];
+    const double v0 = std::ceil((double)dx / res);
+    const double v1 = std::ceil((double)dy / res);
+    const double v2 = std::ceil((double)dz / res);
+    keys[(size_t)i] = (int64_t)(v0 + v1 * nx + v2 * nxny);
+  }
+  return unique_first_occurrence(keys.data(), n, out_idx, out_keys);
 }
 
 // Exact-row coordinate dedup (first occurrence), the scripts/eval.py:40-46

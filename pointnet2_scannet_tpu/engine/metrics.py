@@ -48,10 +48,11 @@ def filter_points(coords, preds, targets, weights):
 
 
 def _per_class_counts(preds, targets, num_classes):
-    seen = np.zeros(num_classes, np.int64)
-    correct = np.zeros(num_classes, np.int64)
-    np.add.at(seen, targets, 1)
-    np.add.at(correct, targets[preds == targets], 1)
+    # bincount == the np.add.at histogram, ~30x faster (add.at is unbuffered)
+    seen = np.bincount(targets, minlength=num_classes).astype(np.int64)
+    correct = np.bincount(
+        targets[preds == targets], minlength=num_classes
+    ).astype(np.int64)
     return seen, correct
 
 
@@ -98,11 +99,16 @@ def _miou_from(preds, targets, seen_classes, uvlabel, num_classes):
     mask[seen_classes] = 1
 
     def iou(p, t):
+        # confusion-matrix form of the reference's per-class loop
+        # (eval.py:101-124): inter = cm[c,c], union = row + col - diag —
+        # identical sums, one bincount instead of ~6 passes per class
+        cm = np.bincount(
+            t * num_classes + p, minlength=num_classes * num_classes
+        ).reshape(num_classes, num_classes)
+        inter = np.diag(cm).astype(np.float64)
+        union = cm.sum(axis=1) + cm.sum(axis=0) - np.diag(cm)
         out = np.zeros(num_classes)
-        for c in seen_classes:
-            inter = np.sum((p == c) & (t == c))
-            union = np.sum(p == c) + np.sum(t == c) - inter
-            out[c] = inter / (union + 1e-8)
+        out[seen_classes] = inter[seen_classes] / (union[seen_classes] + 1e-8)
         return out
 
     return iou(preds, targets), iou(uvlabel[:, 1], uvlabel[:, 0]), mask

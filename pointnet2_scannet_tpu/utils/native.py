@@ -47,6 +47,15 @@ def _load():
         ]
         lib.coord_first_occurrence.restype = i64
         lib.coord_first_occurrence.argtypes = [f32p, i64, i64p]
+        try:  # added after round 3; older .so builds lack it
+            f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            lib.voxelize_unique.restype = i64
+            lib.voxelize_unique.argtypes = [
+                f32p, i64, ctypes.c_double, f32p, f64p, i64p, i64p,
+            ]
+            lib._has_voxelize = True
+        except AttributeError:
+            lib._has_voxelize = False
         _lib = lib
     except Exception:  # noqa: BLE001 - fall back to numpy paths
         _load_failed = True
@@ -161,6 +170,43 @@ def unique_first_occurrence(keys: np.ndarray):
         order = np.argsort(out_keys, kind="stable")
         return out_keys[order], out_idx[order]
     return np.unique(keys, return_index=True)
+
+
+def voxelize_unique(coords: np.ndarray, res: float, coordmin, nvox):
+    """Fused surface-voxel ids + first-occurrence unique (utils/voxel.py).
+
+    Returns (sorted unique voxel ids as float64 — the numpy formula's dtype —
+    and their first-occurrence indices). The native path replicates numpy's
+    f32-subtract / f64-divide promotion bit-exactly and only engages for
+    float32 coords; anything else takes the numpy formula.
+    """
+    lib = _load()
+    n = len(coords)
+    if (
+        lib is not None
+        and getattr(lib, "_has_voxelize", False)
+        and n > 0
+        and coords.dtype == np.float32
+    ):
+        coords = np.ascontiguousarray(coords)
+        out_idx = np.empty(n, np.int64)
+        out_keys = np.empty(n, np.int64)
+        m = lib.voxelize_unique(
+            coords,
+            n,
+            float(res),
+            np.ascontiguousarray(coordmin, np.float32),
+            np.ascontiguousarray(nvox, np.float64),
+            out_idx,
+            out_keys,
+        )
+        out_idx, out_keys = out_idx[:m], out_keys[:m]
+        order = np.argsort(out_keys, kind="stable")
+        return out_keys[order].astype(np.float64), out_idx[order]
+    vidx = np.ceil((coords - np.asarray(coordmin, coords.dtype)) / res)
+    vidx = vidx[:, 0] + vidx[:, 1] * nvox[0] + vidx[:, 2] * nvox[0] * nvox[1]
+    uvidx, vpidx = unique_first_occurrence(vidx.astype(np.int64))
+    return uvidx.astype(np.float64), vpidx
 
 
 def coord_first_occurrence(coords: np.ndarray) -> np.ndarray:

@@ -32,11 +32,9 @@ def surface_voxel_labels(
     coordmin = coords.min(axis=0)
     coordmax = coords.max(axis=0)
     nvox = np.ceil((coordmax - coordmin) / res)
-    vidx = np.ceil((coords - coordmin) / res)
-    vidx = vidx[:, 0] + vidx[:, 1] * nvox[0] + vidx[:, 2] * nvox[0] * nvox[1]
-    # linear ids are integer-valued floats; the native O(N) hash unique needs
-    # int64 keys and returns the same (sorted keys, first-occurrence) pair as
-    # np.unique(return_index=True)
-    uvidx, vpidx = native.unique_first_occurrence(vidx.astype(np.int64))
+    # fused native path: voxel-id computation + O(N) hash unique in one C
+    # pass (numpy-promotion-exact; see native.voxelize_unique). Returns the
+    # same (sorted keys, first-occurrence) pair as np.unique(return_index).
+    uvidx, vpidx = native.voxelize_unique(coords, res, coordmin, nvox)
     uvlabel = labels[vpidx]
-    return uvidx.astype(vidx.dtype), uvlabel, nvox
+    return uvidx, uvlabel, nvox

@@ -55,3 +55,33 @@ class TestCoordDedup:
         _, want = np.unique(view, return_index=True)
         np.testing.assert_array_equal(np.sort(got), np.sort(want))
         assert len(got) == 300
+
+
+class TestVoxelizeUnique:
+    def test_matches_numpy_formula(self):
+        # native fused ids+unique vs the numpy promotion chain it replicates
+        # (f32 subtract, f64 divide, f64 ceil/accumulate, int64 truncate)
+        coords = RNG.uniform(0, 5, size=(4000, 3)).astype(np.float32)
+        coords = np.concatenate([coords, coords[:500]])  # duplicate rows
+        res = 0.02
+        coordmin = coords.min(axis=0)
+        coordmax = coords.max(axis=0)
+        nvox = np.ceil((coordmax - coordmin) / res)
+        got_keys, got_idx = native.voxelize_unique(coords, res, coordmin, nvox)
+        vidx = np.ceil((coords - coordmin) / res)
+        vidx = vidx[:, 0] + vidx[:, 1] * nvox[0] + vidx[:, 2] * nvox[0] * nvox[1]
+        want_keys, want_idx = np.unique(vidx.astype(np.int64), return_index=True)
+        np.testing.assert_array_equal(got_keys, want_keys.astype(np.float64))
+        np.testing.assert_array_equal(got_idx, want_idx)
+
+    def test_f64_coords_take_numpy_path(self):
+        coords = RNG.uniform(0, 2, size=(500, 3))  # float64
+        res = 0.02
+        coordmin = coords.min(axis=0)
+        nvox = np.ceil((coords.max(axis=0) - coordmin) / res)
+        got_keys, got_idx = native.voxelize_unique(coords, res, coordmin, nvox)
+        vidx = np.ceil((coords - coordmin) / res)
+        vidx = vidx[:, 0] + vidx[:, 1] * nvox[0] + vidx[:, 2] * nvox[0] * nvox[1]
+        want_keys, want_idx = np.unique(vidx.astype(np.int64), return_index=True)
+        np.testing.assert_array_equal(got_keys, want_keys.astype(np.float64))
+        np.testing.assert_array_equal(got_idx, want_idx)
