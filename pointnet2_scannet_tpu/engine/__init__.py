@@ -4,6 +4,7 @@ from pointnet2_scannet_tpu.engine.loss import weighted_cross_entropy
 from pointnet2_scannet_tpu.engine.metrics import (
     compute_acc,
     compute_miou,
+    compute_scene_metrics,
     filter_points,
     confusion_matrix,
     confusion_to_point_metrics,
@@ -15,6 +16,7 @@ __all__ = [
     "weighted_cross_entropy",
     "compute_acc",
     "compute_miou",
+    "compute_scene_metrics",
     "filter_points",
     "confusion_matrix",
     "confusion_to_point_metrics",

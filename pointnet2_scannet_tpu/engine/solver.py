@@ -466,10 +466,11 @@ class Solver:
                 preds = np.asarray(out["preds"])[real].reshape(-1)
                 targets = np.asarray(batch["labels"])[real].reshape(-1)
                 weights = np.asarray(batch["weights"])[real].reshape(-1)
-                (_, _, voxacc, voxacc_pc, cali, acc_mask) = M.compute_acc(
-                    coords, preds, targets, weights, self.num_classes
-                )[0:6]
-                _, voxmiou, miou_mask = M.compute_miou(
+                # fused: one dedup+voxelization for both metric families
+                (
+                    (_, _, voxacc, voxacc_pc, cali, acc_mask),
+                    (_, voxmiou, miou_mask),
+                ) = M.compute_scene_metrics(
                     coords, preds, targets, weights, self.num_classes
                 )
                 vox_accs.append(voxacc)
@@ -646,10 +647,11 @@ class WholeSceneSolver(Solver):
                 preds = np.concatenate(scene_preds)
                 targets = np.concatenate(scene_targets)
                 weights = np.concatenate(scene_weights)
-                (_, _, voxacc, _, cali, _) = M.compute_acc(
-                    coords, preds, targets, weights, self.num_classes
-                )[0:6]
-                _, voxmiou, miou_mask = M.compute_miou(
+                # fused: one dedup+voxelization for both metric families
+                (
+                    (_, _, voxacc, _, cali, _),
+                    (_, voxmiou, miou_mask),
+                ) = M.compute_scene_metrics(
                     coords, preds, targets, weights, self.num_classes
                 )
                 vox_accs.append(voxacc)
