@@ -56,11 +56,12 @@ def _per_class_counts(preds, targets, num_classes):
     return seen, correct
 
 
-def _dedup_and_voxelize(coords, preds, targets, weights):
+def _dedup_and_voxelize(coords, preds, targets, weights, num_classes):
     """The shared (and expensive) front half of every scene metric: unique
     coordinates, seen classes, and the 0.02m voxel [target, pred] labels."""
     coords, preds, targets, weights = filter_points(coords, preds, targets, weights)
-    seen_classes = np.unique(targets)
+    # == np.unique(targets) for in-range labels, without the O(N log N) sort
+    seen_classes = np.flatnonzero(np.bincount(targets, minlength=num_classes))
     _, uvlabel, _ = surface_voxel_labels(
         coords, np.stack([targets, preds], axis=1), res=0.02
     )
@@ -123,7 +124,7 @@ def compute_acc(coords, preds, targets, weights, num_classes: int = NUM_CLASSES)
       marks classes present in the targets.
     """
     preds, targets, seen_classes, uvlabel = _dedup_and_voxelize(
-        coords, preds, targets, weights
+        coords, preds, targets, weights, num_classes
     )
     return _acc_from(preds, targets, seen_classes, uvlabel, num_classes)
 
@@ -134,7 +135,7 @@ def compute_miou(coords, preds, targets, weights, num_classes: int = NUM_CLASSES
     Returns (pointmiou, voxmiou, seen_mask) with zeros for unseen classes.
     """
     preds, targets, seen_classes, uvlabel = _dedup_and_voxelize(
-        coords, preds, targets, weights
+        coords, preds, targets, weights, num_classes
     )
     return _miou_from(preds, targets, seen_classes, uvlabel, num_classes)
 
@@ -152,7 +153,7 @@ def compute_scene_metrics(
     what the corresponding standalone function returns (parity-tested).
     """
     preds, targets, seen_classes, uvlabel = _dedup_and_voxelize(
-        coords, preds, targets, weights
+        coords, preds, targets, weights, num_classes
     )
     return (
         _acc_from(preds, targets, seen_classes, uvlabel, num_classes),
