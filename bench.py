@@ -187,6 +187,13 @@ def main(scale: bool = False) -> None:
 
     from pointnet2_scannet_tpu import models
 
+    # eval first: its host-side pipeline (single-core metrics + producer
+    # uploads) measures ~20% slower at the tail of this process (measured:
+    # 7.9 standalone -> 5.9 after the eight train benches; jax.clear_caches
+    # recovers only part). The train benches are device-side scan programs
+    # and don't care about process history.
+    eps = eval_scenes_per_sec()
+
     ssg = models.get_model(num_classes=20, is_msg=False, input_channels=6)
     # headline: the train CLI's production path (--fused_steps 8, K steps per
     # lax.scan program); per-dispatch numbers kept as audit fields
@@ -207,8 +214,6 @@ def main(scale: bool = False) -> None:
         num_classes=20, is_msg=True, input_channels=6, dtype=jnp.bfloat16
     )
     msg_bf16_pps = BATCH * NPOINTS / time_train(msg_bf16, fused=FUSED)
-
-    eps = eval_scenes_per_sec()
 
     flops_fwd = fwd_matmul_flops(ssg.spec, BATCH, NPOINTS)
     print(
