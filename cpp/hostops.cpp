@@ -249,4 +249,72 @@ int64_t coord_first_occurrence(const float* coords, int64_t n,
   return count;
 }
 
+// One fused pass for the per-scene metric front half: exact-row coordinate
+// dedup (first occurrence, ascending original index — scripts/eval.py:40-46)
+// AND surface-voxel first-occurrence over the SURVIVING rows (pc_util.py:
+// 39-51 semantics: np.unique(return_index) over voxel ids of the deduped
+// sequence). Voxel-id math matches numpy promotion exactly (see
+// voxelize_unique). Outputs:
+//   keep_idx  (cap n): original indices of deduped rows, ascending
+//   vox_idx   (cap n): original index of each voxel's representative row
+// Returns m1 (dedup count); *vox_count gets m2. vox_idx order is
+// first-encounter (metric formulas are order-invariant over voxels).
+int64_t dedup_voxelize(const float* coords, int64_t n, double res,
+                       const float* coordmin, const double* nvox,
+                       int64_t* keep_idx, int64_t* vox_idx,
+                       int64_t* vox_count) {
+  uint64_t cap = 16;
+  while (cap < (uint64_t)(n * 2 + 1)) cap <<= 1;
+  std::vector<int64_t> cslot(cap, -1);   // coord table: index into coords
+  std::vector<int64_t> vslot(cap, -1);   // voxel table: index into vkeys
+  std::vector<int64_t> vkeys;
+  vkeys.reserve((size_t)n / 4 + 16);
+  const uint64_t maskc = cap - 1;
+  const double nx = nvox[0];
+  const double nxny = nvox[0] * nvox[1];
+  int64_t m1 = 0, m2 = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t a, b, c;
+    std::memcpy(&a, coords + i * 3, 4);
+    std::memcpy(&b, coords + i * 3 + 1, 4);
+    std::memcpy(&c, coords + i * 3 + 2, 4);
+    const uint64_t k1 = ((uint64_t)a << 32) | b;
+    uint64_t h = mix64(k1 ^ mix64((uint64_t)c)) & maskc;
+    bool fresh = false;
+    for (;;) {
+      int64_t s = cslot[h];
+      if (s == -1) {
+        cslot[h] = i;
+        keep_idx[m1++] = i;
+        fresh = true;
+        break;
+      }
+      if (std::memcmp(coords + s * 3, coords + i * 3, 12) == 0) break;
+      h = (h + 1) & maskc;
+    }
+    if (!fresh) continue;
+    const float dx = coords[i * 3] - coordmin[0];
+    const float dy = coords[i * 3 + 1] - coordmin[1];
+    const float dz = coords[i * 3 + 2] - coordmin[2];
+    const double v0 = std::ceil((double)dx / res);
+    const double v1 = std::ceil((double)dy / res);
+    const double v2 = std::ceil((double)dz / res);
+    const int64_t key = (int64_t)(v0 + v1 * nx + v2 * nxny);
+    uint64_t hv = mix64((uint64_t)key) & maskc;
+    for (;;) {
+      int64_t s = vslot[hv];
+      if (s == -1) {
+        vslot[hv] = (int64_t)vkeys.size();
+        vkeys.push_back(key);
+        vox_idx[m2++] = i;
+        break;
+      }
+      if (vkeys[(size_t)s] == key) break;
+      hv = (hv + 1) & maskc;
+    }
+  }
+  *vox_count = m2;
+  return m1;
+}
+
 }  // extern "C"

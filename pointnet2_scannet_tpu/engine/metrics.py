@@ -58,13 +58,37 @@ def _per_class_counts(preds, targets, num_classes):
 
 def _dedup_and_voxelize(coords, preds, targets, weights, num_classes):
     """The shared (and expensive) front half of every scene metric: unique
-    coordinates, seen classes, and the 0.02m voxel [target, pred] labels."""
-    coords, preds, targets, weights = filter_points(coords, preds, targets, weights)
+    coordinates, seen classes, and the 0.02m voxel [target, pred] labels.
+
+    Fast path: ONE native pass does both the coordinate dedup and the voxel
+    first-occurrence (cpp/hostops.cpp dedup_voxelize); uvlabel comes back in
+    first-encounter voxel order rather than key-sorted — every downstream
+    formula (elementwise label compares + histograms) is order-invariant
+    over voxels, parity-tested against the two-step path and the in-process
+    reference functions.
+    """
+    from pointnet2_scannet_tpu.utils import native
+
+    coords = np.asarray(coords, np.float32)
+    res = 0.02
+    coordmin = coords.min(axis=0) if len(coords) else np.zeros(3, np.float32)
+    coordmax = coords.max(axis=0) if len(coords) else np.zeros(3, np.float32)
+    nvox = np.ceil((coordmax - coordmin) / res)
+    fused = native.dedup_voxelize(coords, res, coordmin, nvox)
+    if fused is not None:
+        keep_idx, vox_idx = fused
+        # vox_idx are ORIGINAL row indices of each voxel's representative
+        uvlabel = np.stack([targets[vox_idx], preds[vox_idx]], axis=1)
+        preds, targets = preds[keep_idx], targets[keep_idx]
+    else:
+        coords, preds, targets, weights = filter_points(
+            coords, preds, targets, weights
+        )
+        _, uvlabel, _ = surface_voxel_labels(
+            coords, np.stack([targets, preds], axis=1), res=res
+        )
     # == np.unique(targets) for in-range labels, without the O(N log N) sort
     seen_classes = np.flatnonzero(np.bincount(targets, minlength=num_classes))
-    _, uvlabel, _ = surface_voxel_labels(
-        coords, np.stack([targets, preds], axis=1), res=0.02
-    )
     return preds, targets, seen_classes, uvlabel
 
 

@@ -53,6 +53,10 @@ def _load():
             lib.voxelize_unique.argtypes = [
                 f32p, i64, ctypes.c_double, f32p, f64p, i64p, i64p,
             ]
+            lib.dedup_voxelize.restype = i64
+            lib.dedup_voxelize.argtypes = [
+                f32p, i64, ctypes.c_double, f32p, f64p, i64p, i64p, i64pp,
+            ]
             lib._has_voxelize = True
         except AttributeError:
             lib._has_voxelize = False
@@ -170,6 +174,42 @@ def unique_first_occurrence(keys: np.ndarray):
         order = np.argsort(out_keys, kind="stable")
         return out_keys[order], out_idx[order]
     return np.unique(keys, return_index=True)
+
+
+def dedup_voxelize(coords: np.ndarray, res: float, coordmin, nvox):
+    """Fused per-scene metric front half: exact-row coordinate dedup + voxel
+    first-occurrence over the surviving rows, one C pass.
+
+    Returns (keep_idx, vox_idx): original-row indices of the deduped points
+    (ascending) and of each voxel's representative point (first-encounter
+    order — the metric formulas are order-invariant over voxels). None when
+    the native fast path is unavailable (caller falls back to
+    filter_points + surface_voxel_labels).
+    """
+    lib = _load()
+    n = len(coords)
+    if (
+        lib is None
+        or not getattr(lib, "_has_voxelize", False)
+        or n == 0
+        or coords.dtype != np.float32
+    ):
+        return None
+    coords = np.ascontiguousarray(coords)
+    keep_idx = np.empty(n, np.int64)
+    vox_idx = np.empty(n, np.int64)
+    vox_count = ctypes.c_int64(0)
+    m1 = lib.dedup_voxelize(
+        coords,
+        n,
+        float(res),
+        np.ascontiguousarray(coordmin, np.float32),
+        np.ascontiguousarray(nvox, np.float64),
+        keep_idx,
+        vox_idx,
+        ctypes.byref(vox_count),
+    )
+    return keep_idx[:m1], vox_idx[: vox_count.value]
 
 
 def voxelize_unique(coords: np.ndarray, res: float, coordmin, nvox):

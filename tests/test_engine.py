@@ -146,6 +146,23 @@ class TestMetricsParity:
         for got, want in list(zip(acc, want_acc)) + list(zip(miou, want_miou)):
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    def test_fused_front_half_matches_fallback(self, monkeypatch):
+        # the native dedup_voxelize path must reproduce the two-step
+        # filter_points + surface_voxel_labels fallback exactly
+        from pointnet2_scannet_tpu.engine import metrics as M
+        from pointnet2_scannet_tpu.utils import native
+
+        coords = np.concatenate([self.coords, self.coords[:400]])
+        preds = np.concatenate([self.preds, self.preds[:400]])
+        targets = np.concatenate([self.targets, self.targets[:400]])
+        w = np.ones(len(coords), np.float32)
+        got = M.compute_scene_metrics(coords, preds, targets, w, num_classes=6)
+        monkeypatch.setattr(native, "dedup_voxelize", lambda *a: None)
+        want = M.compute_scene_metrics(coords, preds, targets, w, num_classes=6)
+        for g_t, w_t in zip(got, want):
+            for g, w_ in zip(g_t, w_t):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(w_))
+
     def test_compute_acc_against_naive(self):
         pa, pa_pc, va, va_pc, cali, mask = compute_acc(
             self.coords, self.preds, self.targets, self.weights, num_classes=6

@@ -85,3 +85,29 @@ class TestVoxelizeUnique:
         want_keys, want_idx = np.unique(vidx.astype(np.int64), return_index=True)
         np.testing.assert_array_equal(got_keys, want_keys.astype(np.float64))
         np.testing.assert_array_equal(got_idx, want_idx)
+
+
+class TestDedupVoxelize:
+    def test_matches_two_step_path(self):
+        # coarse res forces voxel collisions; duplicated rows force dedup
+        coords = RNG.uniform(0, 5, size=(3000, 3)).astype(np.float32)
+        coords = np.concatenate([coords, coords[:700]])
+        res = 0.5
+        cmin = coords.min(0)
+        nvox = np.ceil((coords.max(0) - cmin) / res)
+        out = native.dedup_voxelize(coords, res, cmin, nvox)
+        assert out is not None
+        keep, vox = out
+        ids = native.coord_first_occurrence(coords)
+        np.testing.assert_array_equal(keep, ids)
+        vidx = np.ceil((coords[ids] - cmin) / res)
+        vidx = vidx[:, 0] + vidx[:, 1] * nvox[0] + vidx[:, 2] * nvox[0] * nvox[1]
+        _, want_pos = np.unique(vidx.astype(np.int64), return_index=True)
+        np.testing.assert_array_equal(np.sort(vox), np.sort(ids[want_pos]))
+        assert len(vox) < len(keep)  # collisions actually happened
+
+    def test_f64_coords_return_none(self):
+        coords = RNG.uniform(0, 2, size=(100, 3))
+        assert (
+            native.dedup_voxelize(coords, 0.5, coords.min(0), np.ones(3)) is None
+        )
