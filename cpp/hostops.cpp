@@ -13,6 +13,10 @@
 //   - voxel_first_occurrence: 0.02m surface-voxel dedup via open-addressing
 //     hash, O(N) (numpy: O(N log N) sort in np.unique).
 //   - coord_first_occurrence: exact-row coordinate dedup, O(N).
+//   - voxelize_unique: voxel-id computation fused into the hash unique
+//     (numpy-promotion-exact; utils/voxel.py).
+//   - dedup_voxelize: coordinate dedup + voxel first-occurrence in ONE
+//     pass — the per-scene metric front half (engine/metrics.py).
 //
 // Built as a plain shared library (no Python headers); bound via ctypes in
 // pointnet2_scannet_tpu/utils/native.py with a numpy fallback when the
