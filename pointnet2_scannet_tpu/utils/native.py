@@ -24,9 +24,18 @@ def _load():
     if _lib is not None or _load_failed:
         return _lib
     try:
-        if not _LIB_PATH.exists():
+        src = _CPP_DIR / "hostops.cpp"
+        stale = _LIB_PATH.exists() and (
+            src.exists() and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+        )
+        if not _LIB_PATH.exists() or stale:
+            # -B: a checked-out .so can predate a newer hostops.cpp; a stale
+            # library silently drops new entry points (they degrade to the
+            # numpy fallbacks), so force the rebuild
             subprocess.run(
-                ["make", "-C", str(_CPP_DIR)], check=True, capture_output=True
+                ["make", "-B", "-C", str(_CPP_DIR)],
+                check=True,
+                capture_output=True,
             )
         lib = ctypes.CDLL(str(_LIB_PATH))
         i64 = ctypes.c_int64
