@@ -92,7 +92,10 @@ class SetAbstraction(nn.Module):
         import jax
 
         N, M = xyz.shape[1], new_xyz.shape[1]
-        aligned = N % 128 == 0 and (M <= 128 or M % 128 == 0)
+        # M >= 256: at MSG-SA3 (N=256, M=64) the fused kernel measured ~2.5x
+        # slower than 2x single queries (DESIGN.md §MSG hot-op table) — the
+        # shared distance tile can't pay for itself on sub-tile query counts.
+        aligned = N % 128 == 0 and M % 256 == 0
         if (
             len(self.radii) == 2
             and aligned

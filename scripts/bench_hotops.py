@@ -11,6 +11,8 @@ Methodology (the only one that gives true numbers through the axon tunnel):
     134 MB grouped tensor would measure the tunnel, not the op).
 
 Shapes: the SSG model at B=32, N=8192 input — per level (N, M, K, C_in).
+`--msg` benches the MSG shapes instead (fused dual-radius ball query vs 2x
+single, both scales' gathers at MSG widths, the MSG FP interpolate stack).
 """
 
 from __future__ import annotations
@@ -43,6 +45,24 @@ FP_LEVELS = [
     ("FP1", 8192, 1024, 128),
 ]
 
+# MSG variants (--msg): per level (name, N, M, ((r1, K1), (r2, K2)), C_src);
+# C_src = 3 + sum of both scales' last MLP widths from the level above
+# (models/pointnet2.py msg_spec: 32+64, 128+128, 256+256 -> 99/259/515).
+MSG_SA_LEVELS = [
+    ("SA1", 8192, 1024, ((0.05, 16), (0.1, 32)), 9),
+    ("SA2", 1024, 256, ((0.1, 16), (0.2, 32)), 99),
+    ("SA3", 256, 64, ((0.2, 16), (0.4, 32)), 259),
+    ("SA4", 64, 16, ((0.4, 16), (0.8, 32)), 515),
+]
+# MSG FP: interpolated C = SA4 concat (512+512) at FP4, then each fp_mlp's
+# last width (512, 512, 256) flows down.
+MSG_FP_LEVELS = [
+    ("FP4", 64, 16, 1024),
+    ("FP3", 256, 64, 512),
+    ("FP2", 1024, 256, 512),
+    ("FP1", 8192, 1024, 256),
+]
+
 
 def bench(name, make_body, *args, reps=REPS):
     """make_body(acc, *args) -> scalar; jit a scan of it and time."""
@@ -68,6 +88,107 @@ def bench(name, make_body, *args, reps=REPS):
     except Exception as e:  # noqa: BLE001 - keep benching past one OOM
         print(f"{name:<56}   FAILED: {str(e)[:120]}", flush=True)
         return float("nan")
+
+
+def main_msg():
+    """MSG hot-op table: dual-radius fused ball query (the production path,
+    models/modules.py:101-112) vs 2x single queries, both scales' gathers at
+    the MSG channel widths, and the MSG FP interpolate stack. FPS and
+    three_nn are geometry-only (identical shapes to SSG) — see the SSG table.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pointnet2_scannet_tpu import ops
+    from pointnet2_scannet_tpu.ops.interpolate import three_interpolate_dense
+    from pointnet2_scannet_tpu.ops.pallas.ball_query_kernel import (
+        ball_query_multi_pallas,
+    )
+    from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(0)
+
+    print("=== MSG ball query: fused dual-radius vs 2x single ===")
+    for name, N, M, scales, _ in MSG_SA_LEVELS:
+        xyz = jnp.asarray(rng.uniform(0, 1.5, (B, N, 3)).astype(np.float32))
+        q = xyz[:, :M]
+        radii = tuple(r for r, _ in scales)
+        ks = tuple(k for _, k in scales)
+
+        # mirror the production gate (models/modules.py:95): the fused kernel
+        # needs N%128==0; SA4 (N=64) takes the 2x-single path in the model too
+        aligned = N % 128 == 0 and (M <= 128 or M % 128 == 0)
+        if aligned:
+
+            def dual(acc, xyz, q, radii=radii, ks=ks):
+                i1, i2 = ball_query_multi_pallas(
+                    radii, ks, xyz + acc * 1e-20, q
+                )
+                s = jnp.sum(i1) + jnp.sum(i2)
+                return s.astype(jnp.float32) * 1e-20 + acc
+
+            bench(
+                f"{name} dual ball_query (N={N}, M={M}, K={ks})", dual, xyz, q
+            )
+        else:
+            print(f"{name} dual ball_query: n/a (N={N} unaligned; prod uses 2x single)")
+
+        def two_single(acc, xyz, q, radii=radii, ks=ks):
+            s = jnp.int32(0)
+            x = xyz + acc * 1e-20
+            for r, k in zip(radii, ks):
+                s = s + jnp.sum(ops.ball_query(float(r), int(k), x, q))
+            return s.astype(jnp.float32) * 1e-20 + acc
+
+        bench(f"{name} 2x single ball_query", two_single, xyz, q)
+
+    print("=== MSG grouped gather fwd / bwd (auto path, both scales) ===")
+    for name, N, M, scales, C in MSG_SA_LEVELS:
+        src = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+        for si, (_, K) in enumerate(scales):
+            idx = jnp.asarray(
+                rng.integers(0, N, (B, M, K)).astype(np.int32)
+            )
+
+            def fwd(acc, src, idx):
+                out = ops.group_points(src + acc * 1e-20, idx)
+                return jnp.sum(out) * 1e-20 + acc
+
+            bench(f"{name}s{si} gather fwd (J={M * K}, N={N}, C={C})", fwd, src, idx)
+
+            def bwd(acc, src, idx):
+                def f(s):
+                    return jnp.sum(ops.group_points(s, idx) ** 2)
+
+                g = jax.grad(f)(src + acc * 1e-20)
+                return jnp.sum(g) * 1e-20 + acc
+
+            bench(f"{name}s{si} gather+scatter bwd", bwd, src, idx)
+
+    print("=== MSG three_interpolate dense fwd/bwd ===")
+    for name, n, m, C in MSG_FP_LEVELS:
+        unk = jnp.asarray(rng.uniform(0, 1.5, (B, n, 3)).astype(np.float32))
+        kno = jnp.asarray(rng.uniform(0, 1.5, (B, m, 3)).astype(np.float32))
+        feats = jnp.asarray(rng.normal(size=(B, m, C)).astype(np.float32))
+        d2, nn3 = jax.jit(ops.three_nn)(unk, kno)
+        w = jnp.asarray(rng.uniform(0.1, 1, (B, n, 3)).astype(np.float32))
+        w = w / jnp.sum(w, -1, keepdims=True)
+
+        def interp(acc, feats, w, nn3=nn3):
+            out = three_interpolate_dense(feats + acc * 1e-20, nn3, w)
+            return jnp.sum(out) * 1e-20 + acc
+
+        bench(f"{name} interp_dense fwd (n={n}, C={C})", interp, feats, w)
+
+        def interp_bwd(acc, feats, w, nn3=nn3):
+            def f(s):
+                return jnp.sum(three_interpolate_dense(s, nn3, w) ** 2)
+
+            g = jax.grad(f)(feats + acc * 1e-20)
+            return jnp.sum(g) * 1e-20 + acc
+
+        bench(f"{name} interp_dense bwd (n={n}, C={C})", interp_bwd, feats, w)
 
 
 def main():
@@ -167,4 +288,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--msg" in sys.argv:
+        main_msg()
+    else:
+        main()
