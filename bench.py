@@ -27,9 +27,11 @@ dispatch latency). Extra fields:
                        named to stay honest about the mixed units
   eval_scenes_per_sec  whole-scene evaluator rate on 100k-pt synthetic scenes
 
-`python bench.py --scale` additionally reports the batch-size scaling study
-(B=64/128, f32+bf16) as extra JSON lines — the data a first real multi-chip
-run needs (DESIGN.md §Batch scaling).
+`python bench.py --scale` additionally reports, as extra JSON lines: the
+batch-size scaling study (B=64/128, f32+bf16 — the data a first real
+multi-chip run needs, DESIGN.md §Batch scaling), the multiview recipes
+(131 feature channels, the reference's best-mIoU configs), and chunk-size
+scaling at constant points/step (DESIGN.md §Chunk-size scaling).
 """
 
 from __future__ import annotations
@@ -106,7 +108,10 @@ def time_train(
     mesh = make_mesh()
     npoints = NPOINTS if npoints is None else npoints
     rng = np.random.default_rng(0)
-    pc = rng.uniform(0.0, 1.5, size=(batch_size, npoints, 9)).astype(np.float32)
+    n_cols = 3 + model.spec.input_channels  # xyz + feature columns
+    pc = rng.uniform(0.0, 1.5, size=(batch_size, npoints, n_cols)).astype(
+        np.float32
+    )
     tx = ts.make_optimizer(ts.make_lr_schedule(1e-3, 100, 0.7, 100))
     state = ts.create_train_state(model, jax.random.key(0), pc[:1], tx)
     raw_batch = {
@@ -257,6 +262,25 @@ def main(scale: bool = False) -> None:
                         {
                             "metric": f"scale_ssg_{label}_b{bs}",
                             "value": round(bs * NPOINTS / s, 1),
+                            "unit": "points/sec",
+                            "step_ms": round(s * 1e3, 2),
+                        }
+                    )
+                )
+        # multiview recipes (xyz+normal+multiview = 131 feature channels —
+        # the reference's best-mIoU configs, README.md:11-12): the heaviest
+        # input the framework trains; exercises the wide-C SA1 grouping path
+        for is_msg, name in ((False, "ssg"), (True, "msg")):
+            for label, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+                m = models.get_model(
+                    num_classes=20, is_msg=is_msg, input_channels=131, dtype=dt
+                )
+                s = time_train(m, fused=FUSED)
+                print(
+                    json.dumps(
+                        {
+                            "metric": f"scale_{name}_mv131_{label}",
+                            "value": round(BATCH * NPOINTS / s, 1),
                             "unit": "points/sec",
                             "step_ms": round(s * 1e3, 2),
                         }
