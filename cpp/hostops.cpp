@@ -201,24 +201,28 @@ int64_t unique_first_occurrence(const int64_t* keys, int64_t n,
 
 // Fused voxel-id computation + first-occurrence unique for the surface-voxel
 // metrics (utils/voxel.py, reference lib/pc_util.py:39-51). The key formula
-// replicates numpy's dtype promotion EXACTLY: (p - coordmin) subtracted in
-// float32, divided by the python-float res in double, ceil'd in double;
-// id = v0 + v1*nx + v2*(nx*ny) accumulated left-to-right in double and
-// truncated to int64. nvox are the ceil'd grid dims as double[3].
+// replicates numpy's dtype promotion EXACTLY: every op stays float32 — an
+// f32 array divided by a python float keeps f32 under both legacy and NEP-50
+// promotion — so subtract, divide, ceil, and the left-to-right id
+// accumulation v0 + v1*nx + (v2*nx)*ny all round per-op in f32 (the Makefile
+// pins -ffp-contract=off so no FMA fuses them), then truncate to int64.
+// nvox arrives as double[3] but is an exact f32->f64 widening; casting back
+// recovers the original f32 grid dims.
 int64_t voxelize_unique(const float* coords, int64_t n, double res,
                         const float* coordmin, const double* nvox,
                         int64_t* out_idx, int64_t* out_keys) {
   std::vector<int64_t> keys((size_t)n);
-  const double nx = nvox[0];
-  const double nxny = nvox[0] * nvox[1];
+  const float fres = (float)res;
+  const float nx = (float)nvox[0];
+  const float ny = (float)nvox[1];
   for (int64_t i = 0; i < n; ++i) {
     const float dx = coords[i * 3] - coordmin[0];
     const float dy = coords[i * 3 + 1] - coordmin[1];
     const float dz = coords[i * 3 + 2] - coordmin[2];
-    const double v0 = std::ceil((double)dx / res);
-    const double v1 = std::ceil((double)dy / res);
-    const double v2 = std::ceil((double)dz / res);
-    keys[(size_t)i] = (int64_t)(v0 + v1 * nx + v2 * nxny);
+    const float v0 = std::ceil(dx / fres);
+    const float v1 = std::ceil(dy / fres);
+    const float v2 = std::ceil(dz / fres);
+    keys[(size_t)i] = (int64_t)(v0 + v1 * nx + (v2 * nx) * ny);
   }
   return unique_first_occurrence(keys.data(), n, out_idx, out_keys);
 }
@@ -274,8 +278,9 @@ int64_t dedup_voxelize(const float* coords, int64_t n, double res,
   std::vector<int64_t> vkeys;
   vkeys.reserve((size_t)n / 4 + 16);
   const uint64_t maskc = cap - 1;
-  const double nx = nvox[0];
-  const double nxny = nvox[0] * nvox[1];
+  const float fres = (float)res;
+  const float nx = (float)nvox[0];
+  const float ny = (float)nvox[1];
   int64_t m1 = 0, m2 = 0;
   for (int64_t i = 0; i < n; ++i) {
     uint32_t a, b, c;
@@ -300,10 +305,10 @@ int64_t dedup_voxelize(const float* coords, int64_t n, double res,
     const float dx = coords[i * 3] - coordmin[0];
     const float dy = coords[i * 3 + 1] - coordmin[1];
     const float dz = coords[i * 3 + 2] - coordmin[2];
-    const double v0 = std::ceil((double)dx / res);
-    const double v1 = std::ceil((double)dy / res);
-    const double v2 = std::ceil((double)dz / res);
-    const int64_t key = (int64_t)(v0 + v1 * nx + v2 * nxny);
+    const float v0 = std::ceil(dx / fres);
+    const float v1 = std::ceil(dy / fres);
+    const float v2 = std::ceil(dz / fres);
+    const int64_t key = (int64_t)(v0 + v1 * nx + (v2 * nx) * ny);
     uint64_t hv = mix64((uint64_t)key) & maskc;
     for (;;) {
       int64_t s = vslot[hv];

@@ -300,7 +300,7 @@ class Solver:
         losses/cms collect per-GROUP stacked leaves ((K,)/(K, C, C)) and are
         flattened at reporting time.
         """
-        losses, cms, counts = [], [], []
+        losses, cms = [], []
         iters = len(self.train_loader)
         it_done, last_report = 0, 0
         t0 = time.time()
@@ -326,7 +326,6 @@ class Solver:
                 )
             losses.append(stats["loss"])
             cms.append(stats["confusion"])
-            counts.append(k)
             it_done += k
             if it_done // verbose > last_report // verbose:
                 last_report = it_done

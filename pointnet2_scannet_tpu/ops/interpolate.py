@@ -57,10 +57,12 @@ def three_nn(
         )
 
         tile_n = min(n, 512)
-        # 4 live (m, tile_n) f32 buffers; keep them within ~8 MB of VMEM
+        # 4 live (m, tile_n) f32 buffers; keep them within ~8 MB of VMEM.
+        # If even tile_n=128 busts the budget (m > 4096), skip the kernel —
+        # oversubscribed VMEM fails at compile/run time on the chip.
         while tile_n > 128 and m * tile_n * 16 > 8 * 1024 * 1024:
             tile_n //= 2
-        if n % tile_n == 0:
+        if n % tile_n == 0 and m * tile_n * 16 <= 8 * 1024 * 1024:
             return three_nn_pallas_t(unknown, known, tile_n=tile_n)
     if use_pallas and m % 128 == 0 and n % min(n, 256) == 0:
         from pointnet2_scannet_tpu.ops.pallas.three_nn_kernel import three_nn_pallas

@@ -31,6 +31,19 @@ def make_mesh(
     return Mesh(np.asarray(devices[:num_devices]), (axis_name,))
 
 
+def dp_mesh_or_none(
+    num_devices: int | None, *, batch_size: int | None = None
+) -> Mesh | None:
+    """dp mesh for num_devices > 1; None/0/1 means plain single-device.
+
+    Shared by the eval/visualize CLIs' --num_devices flag so the two can't
+    drift.
+    """
+    if num_devices in (None, 0, 1):
+        return None
+    return make_mesh(num_devices, batch_size=batch_size)
+
+
 def make_mesh_2d(
     dp: int, tp: int, *, axis_names: tuple[str, str] = ("dp", "tp")
 ) -> Mesh:

@@ -31,12 +31,19 @@ def _load():
         if not _LIB_PATH.exists() or stale:
             # -B: a checked-out .so can predate a newer hostops.cpp; a stale
             # library silently drops new entry points (they degrade to the
-            # numpy fallbacks), so force the rebuild
-            subprocess.run(
-                ["make", "-B", "-C", str(_CPP_DIR)],
-                check=True,
-                capture_output=True,
-            )
+            # numpy fallbacks), so force the rebuild. git doesn't preserve
+            # mtimes, so a fresh clone can look "stale" spuriously — if the
+            # rebuild fails (no toolchain) but a loadable .so exists, use it
+            # rather than disabling every native path.
+            try:
+                subprocess.run(
+                    ["make", "-B", "-C", str(_CPP_DIR)],
+                    check=True,
+                    capture_output=True,
+                )
+            except Exception:
+                if not _LIB_PATH.exists():
+                    raise
         lib = ctypes.CDLL(str(_LIB_PATH))
         i64 = ctypes.c_int64
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -225,9 +232,10 @@ def voxelize_unique(coords: np.ndarray, res: float, coordmin, nvox):
     """Fused surface-voxel ids + first-occurrence unique (utils/voxel.py).
 
     Returns (sorted unique voxel ids as float64 — the numpy formula's dtype —
-    and their first-occurrence indices). The native path replicates numpy's
-    f32-subtract / f64-divide promotion bit-exactly and only engages for
-    float32 coords; anything else takes the numpy formula.
+    and their first-occurrence indices). The native path replicates the
+    all-float32 numpy formula bit-exactly (an f32 array divided by a python
+    float stays f32 under both legacy and NEP-50 promotion) and only engages
+    for float32 coords; anything else takes the numpy formula.
     """
     lib = _load()
     n = len(coords)

@@ -116,9 +116,9 @@ def main_msg():
         radii = tuple(r for r, _ in scales)
         ks = tuple(k for _, k in scales)
 
-        # mirror the production gate (models/modules.py:95): the fused kernel
-        # needs N%128==0; SA4 (N=64) takes the 2x-single path in the model too
-        aligned = N % 128 == 0 and (M <= 128 or M % 128 == 0)
+        # mirror the production gate (models/modules.py:98): fused needs
+        # N%128==0 AND M%256==0 — SA3 (M=64) and SA4 (N=64) take 2x single
+        aligned = N % 128 == 0 and M % 256 == 0
         if aligned:
 
             def dual(acc, xyz, q, radii=radii, ks=ks):

@@ -71,12 +71,11 @@ def evaluate(args) -> None:
 
 
 def _eval_mesh(args):
-    """dp mesh for --num_devices > 1 (None/1 = plain single-device eval)."""
-    if getattr(args, "num_devices", None) in (None, 0, 1):
-        return None
-    from pointnet2_scannet_tpu.parallel.mesh import make_mesh
+    from pointnet2_scannet_tpu.parallel.mesh import dp_mesh_or_none
 
-    return make_mesh(args.num_devices, batch_size=args.batch_size)
+    return dp_mesh_or_none(
+        getattr(args, "num_devices", None), batch_size=args.batch_size
+    )
 
 
 def parse_args(argv=None):

@@ -60,13 +60,32 @@ class TestCoordDedup:
 class TestVoxelizeUnique:
     def test_matches_numpy_formula(self):
         # native fused ids+unique vs the numpy promotion chain it replicates
-        # (f32 subtract, f64 divide, f64 ceil/accumulate, int64 truncate)
+        # (every op f32: subtract, divide, ceil, accumulate; int64 truncate)
         coords = RNG.uniform(0, 5, size=(4000, 3)).astype(np.float32)
         coords = np.concatenate([coords, coords[:500]])  # duplicate rows
         res = 0.02
         coordmin = coords.min(axis=0)
         coordmax = coords.max(axis=0)
         nvox = np.ceil((coordmax - coordmin) / res)
+        got_keys, got_idx = native.voxelize_unique(coords, res, coordmin, nvox)
+        vidx = np.ceil((coords - coordmin) / res)
+        vidx = vidx[:, 0] + vidx[:, 1] * nvox[0] + vidx[:, 2] * nvox[0] * nvox[1]
+        want_keys, want_idx = np.unique(vidx.astype(np.int64), return_index=True)
+        np.testing.assert_array_equal(got_keys, want_keys.astype(np.float64))
+        np.testing.assert_array_equal(got_idx, want_idx)
+
+    def test_voxel_boundary_points_f32_division(self):
+        # f32(0.1)/0.02 is exactly 5.0 in f32 but 5.0000000745 in f64 — a
+        # boundary point must bin like the f32 numpy formula (voxel 5, not 6).
+        coords = np.array(
+            [[0, 0, 0], [0.1, 0, 0], [0.3, 0.3, 0.3]], np.float32
+        )
+        # boundary multiples of res stress-test every component
+        grid = RNG.integers(0, 200, size=(2000, 3)).astype(np.float32) * 0.02
+        coords = np.concatenate([coords, grid])
+        res = 0.02
+        coordmin = coords.min(axis=0)
+        nvox = np.ceil((coords.max(axis=0) - coordmin) / res)
         got_keys, got_idx = native.voxelize_unique(coords, res, coordmin, nvox)
         vidx = np.ceil((coords - coordmin) / res)
         vidx = vidx[:, 0] + vidx[:, 1] * nvox[0] + vidx[:, 2] * nvox[0] * nvox[1]
@@ -105,6 +124,24 @@ class TestDedupVoxelize:
         _, want_pos = np.unique(vidx.astype(np.int64), return_index=True)
         np.testing.assert_array_equal(np.sort(vox), np.sort(ids[want_pos]))
         assert len(vox) < len(keep)  # collisions actually happened
+
+    def test_boundary_points_f32_division(self):
+        # grid-aligned coords sit exactly on voxel boundaries in f32 but not
+        # f64 (e.g. f32(0.1)/0.02): the native ids must match f32 arithmetic
+        coords = RNG.integers(0, 100, size=(1500, 3)).astype(np.float32) * 0.02
+        coords = np.concatenate([coords, coords[:300]])
+        res = 0.02
+        cmin = coords.min(0)
+        nvox = np.ceil((coords.max(0) - cmin) / res)
+        out = native.dedup_voxelize(coords, res, cmin, nvox)
+        assert out is not None
+        keep, vox = out
+        ids = native.coord_first_occurrence(coords)
+        np.testing.assert_array_equal(keep, ids)
+        vidx = np.ceil((coords[ids] - cmin) / res)
+        vidx = vidx[:, 0] + vidx[:, 1] * nvox[0] + vidx[:, 2] * nvox[0] * nvox[1]
+        _, want_pos = np.unique(vidx.astype(np.int64), return_index=True)
+        np.testing.assert_array_equal(np.sort(vox), np.sort(ids[want_pos]))
 
     def test_f64_coords_return_none(self):
         coords = RNG.uniform(0, 2, size=(100, 3))
