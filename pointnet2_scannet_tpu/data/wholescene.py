@@ -84,8 +84,10 @@ class WholeSceneDataset:
         coordmin = feats_all[:, :3].min(axis=0)
         coordmax = feats_all[:, :3].max(axis=0)
         L = cfg.chunk_size_xy
-        nx = int(np.ceil((coordmax[0] - coordmin[0]) / L))
-        ny = int(np.ceil((coordmax[1] - coordmin[1]) / L))
+        # clamp like estimate_columns: a zero x/y extent (planar degenerate
+        # scene) must still yield one column, not an empty np.stack
+        nx = max(int(np.ceil((coordmax[0] - coordmin[0]) / L)), 1)
+        ny = max(int(np.ceil((coordmax[1] - coordmin[1]) / L)), 1)
 
         # column membership in ONE binned O(N) pass (native, numpy fallback)
         # instead of the reference's nx*ny full-scene mask scans — identical

@@ -186,6 +186,12 @@ class Solver:
             train_dataset, tc.batch_size, seed=tc.seed, drop_last=True,
             shuffle=tc.shuffle,
         )
+        if len(self.train_loader) == 0:
+            raise ValueError(
+                f"training dataset ({len(train_dataset)} items) yields zero "
+                f"batches at batch_size={tc.batch_size} with drop_last — "
+                "reduce batch_size or add scenes"
+            )
         self.val_loader = (
             BatchLoader(val_dataset, tc.batch_size, seed=tc.seed, pad_last=True)
             if val_dataset is not None
@@ -266,14 +272,23 @@ class Solver:
                     ),
                     flush=True,
                 )
-        save_checkpoint(
-            self.output_dir,
-            "model_last",
-            self.state,
-            epoch=epochs - 1,
-            best=self.best,
-            config_json=self.config.to_json(),
-        )
+            # every-epoch model_last keeps the run resumable after a crash
+            # or kill (resume() reads model_last; without this an
+            # interrupted 500-epoch run would leave nothing to resume from)
+            save_checkpoint(
+                self.output_dir,
+                "model_last",
+                self.state,
+                epoch=epoch,
+                best=self.best,
+                config_json=self.config.to_json(),
+            )
+        if epochs <= start_epoch:  # zero-epoch call: model_last must still exist
+            save_checkpoint(
+                self.output_dir, "model_last", self.state,
+                epoch=start_epoch - 1, best=self.best,
+                config_json=self.config.to_json(),
+            )
         (self.output_dir / "best.txt").write_text(
             "\n".join(f"{k}: {v}" for k, v in self.best.items())
         )

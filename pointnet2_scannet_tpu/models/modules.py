@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from pointnet2_scannet_tpu import ops
 from pointnet2_scannet_tpu.models.layers import PointwiseMLP
+from pointnet2_scannet_tpu.ops.common import on_tpu_backend
 
 
 class SetAbstraction(nn.Module):
@@ -99,7 +100,7 @@ class SetAbstraction(nn.Module):
         if (
             len(self.radii) == 2
             and aligned
-            and jax.default_backend() in ("tpu", "axon")
+            and on_tpu_backend()
         ):
             from pointnet2_scannet_tpu.ops.pallas.ball_query_kernel import (
                 ball_query_multi_pallas,
@@ -154,7 +155,7 @@ class FeaturePropagation(nn.Module):
                 three_interpolate_fast,
             )
 
-            on_tpu = jax.default_backend() in ("tpu", "axon")
+            on_tpu = on_tpu_backend()
             use_fast = ops_config.interpolate_fast
             if use_fast is None:
                 use_fast = on_tpu

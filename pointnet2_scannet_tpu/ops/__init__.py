@@ -13,8 +13,10 @@ TPU-native equivalents of the reference CUDA kernel set
 All ops are pure JAX functions over fixed-shape padded tensors (jit/vmap/grad
 compatible). Gathers use XLA's native gather with scatter-add transposes, so
 gradients are deterministic (the reference uses non-deterministic atomicAdd).
-Hot ops have Pallas TPU kernel variants in ops/pallas/, selected via
-`ops.config.use_pallas`.
+Hot ops have Pallas TPU kernel variants in ops/pallas/, auto-selected on TPU
+backends when shapes are lane-aligned; pin them globally via
+`ops.tuning.ops_config` (e.g. `ops_config.ball_query_pallas = False`) or
+per call with each op's `use_pallas`/`use_mxu` keyword.
 """
 
 from pointnet2_scannet_tpu.ops.common import pairwise_sqdist

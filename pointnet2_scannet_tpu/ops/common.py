@@ -2,7 +2,17 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def on_tpu_backend() -> bool:
+    """True on real TPU backends ('tpu', or 'axon' = tunneled v5e).
+
+    The single gate every Pallas auto-selection consults — adding a new
+    backend name here routes all kernels at once.
+    """
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray, *, mode: str = "exact") -> jnp.ndarray:

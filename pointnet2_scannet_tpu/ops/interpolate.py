@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from pointnet2_scannet_tpu.ops.common import pairwise_sqdist
+from pointnet2_scannet_tpu.ops.common import on_tpu_backend, pairwise_sqdist
 
 
 def three_nn(
@@ -39,8 +39,6 @@ def three_nn(
       Both lowerings tie-break to the lowest index, matching the CUDA
       kernel's strict-< insertion order.
     """
-    import jax
-
     n, m = unknown.shape[1], known.shape[1]
     if use_pallas is None:
         from pointnet2_scannet_tpu.ops.tuning import ops_config
@@ -48,7 +46,7 @@ def three_nn(
         if ops_config.three_nn_pallas is not None:
             use_pallas = ops_config.three_nn_pallas
         else:
-            use_pallas = jax.default_backend() in ("tpu", "axon")
+            use_pallas = on_tpu_backend()
     if use_pallas and n % 128 == 0 and m % 8 == 0:
         # transposed (known-major) kernel: measured 3.0 ms vs 5.3 for the
         # query-major kernel at the FP1 shape (scripts/bench_fp.py --three_nn)
@@ -131,7 +129,7 @@ def _fast_fwd_value(points, idx, weight):
     use_vmem = (
         ops_config.vmem_gather
         if ops_config.vmem_gather is not None
-        else jax.default_backend() in ("tpu", "axon")
+        else on_tpu_backend()
     )
     if use_vmem:
         from pointnet2_scannet_tpu.ops.pallas import vmem_gather_kernel as vk

@@ -19,11 +19,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from pointnet2_scannet_tpu.ops.common import pairwise_sqdist
+from pointnet2_scannet_tpu.ops.common import on_tpu_backend, pairwise_sqdist
 
 
 def _on_tpu() -> bool:
-    return jax.default_backend() in ("tpu", "axon")
+    return on_tpu_backend()
 
 
 def ball_query(
@@ -63,10 +63,14 @@ def ball_query(
         )
     if use_pallas and N % 128 == 0 and (M <= 128 or M % 128 == 0):
         from pointnet2_scannet_tpu.ops.pallas.ball_query_kernel import (
+            _auto_tile_m,
             ball_query_pallas,
         )
 
-        return ball_query_pallas(float(radius), int(nsample), xyz, new_xyz)
+        # an odd M can't be halved below the VMEM envelope (e.g. M=75 at
+        # N=32768 leaves a ~9 MB distance tile) — fall back to XLA then
+        if _auto_tile_m(M, N) * N <= 128 * 8192:
+            return ball_query_pallas(float(radius), int(nsample), xyz, new_xyz)
     d2 = pairwise_sqdist(new_xyz, xyz, mode=dist_mode)  # (B, M, N)
     valid = d2 < jnp.float32(radius) * jnp.float32(radius)
     iota = lax.broadcasted_iota(jnp.int32, d2.shape, 2)
@@ -238,13 +242,13 @@ def group_with_idx(
         if normalize_xyz:
             grouped_xyz = grouped_xyz / radius
         return jnp.concatenate([grouped_xyz, grouped[..., 3:]], axis=-1)
-    grouped_xyz = group(xyz, idx) - new_xyz[:, :, None, :]
-    if normalize_xyz:
-        grouped_xyz = grouped_xyz / radius
-    if features is not None:
+    if features is not None:  # use_xyz=False: only the feature gather runs
         return group(features, idx)
     if not use_xyz:
         raise ValueError("cannot have not features and not use xyz as a feature")
+    grouped_xyz = group(xyz, idx) - new_xyz[:, :, None, :]
+    if normalize_xyz:
+        grouped_xyz = grouped_xyz / radius
     return grouped_xyz
 
 

@@ -187,9 +187,7 @@ def vmem_gather_any(
 ) -> jnp.ndarray:
     """vmem_gather with bf16 pair-packing. Call `supported()` first."""
     if src.dtype == jnp.bfloat16:
-        C = src.shape[-1]
-        packed = _bf16_gather(src, idx, interpret)
-        return packed
+        return _bf16_gather(src, idx, interpret)
     return vmem_gather(src, idx, interpret)
 
 

@@ -21,7 +21,9 @@ from jax import lax
 
 
 def _on_tpu() -> bool:
-    return jax.default_backend() in ("tpu", "axon")
+    from pointnet2_scannet_tpu.ops.common import on_tpu_backend
+
+    return on_tpu_backend()
 
 
 @functools.partial(

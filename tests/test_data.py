@@ -128,6 +128,24 @@ class TestWholeScene:
             assert span[0] <= 1.5 + 0.03 and span[1] <= 1.5 + 0.03
 
 
+class TestWholeSceneDegenerate:
+    def test_planar_scene_yields_one_column(self):
+        # zero x-extent (single planar wall): nx must clamp to 1, not 0 —
+        # an unclamped ceil(0/1.5)=0 made np.stack([]) crash the tiler
+        from pointnet2_scannet_tpu.data.scene_store import SceneStore
+
+        rng = np.random.default_rng(0)
+        scene = np.zeros((5000, 11), np.float32)
+        scene[:, 1] = rng.uniform(0, 1.0, 5000)  # y spread
+        scene[:, 2] = rng.uniform(0, 2.0, 5000)  # z spread; x all zero
+        scene[:, 10] = rng.integers(0, NUM_CLASSES, 5000)
+        store = SceneStore(["wall"], {"wall": scene})
+        ds = WholeSceneDataset(store, CFG, seed=0)
+        feats, labels, weights = ds.get_scene(0)
+        assert feats.shape[0] >= 1
+        assert feats.shape[1:] == (2048, 9)
+
+
 class TestTileColumns:
     def _reference_tiling(self, xyz, coordmin, coordmax, L, tol=0.01):
         """The pre-optimization per-column mask loop (lib/dataset.py:316-337

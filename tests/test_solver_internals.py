@@ -101,3 +101,60 @@ class TestSolverResume:
         # resuming at the configured epoch count runs no further epochs
         out = s2(epochs=2, verbose=100, start_epoch=start)
         assert int(s2.state.step) == step_after
+
+
+class TestSolverGuards:
+    def _make(self, tmp_path, n_scenes=2, batch_size=2):
+        from pointnet2_scannet_tpu import models
+        from pointnet2_scannet_tpu.config import (
+            DataConfig, ModelConfig, RunConfig, TrainConfig,
+        )
+        from pointnet2_scannet_tpu.data import ChunkedSceneDataset
+        from pointnet2_scannet_tpu.data.synthetic import make_synthetic_store
+        from pointnet2_scannet_tpu.engine import Solver
+
+        cfg = RunConfig(
+            tag="guards",
+            data=DataConfig(npoints=1024, use_color=True, use_normal=True),
+            model=ModelConfig(is_msg=False),
+            train=TrainConfig(batch_size=batch_size, epochs=2, lr=1e-3, seed=0),
+        )
+        store = make_synthetic_store(n_scenes=n_scenes, n_points=8_000)
+        train_ds = ChunkedSceneDataset(store, cfg.data, phase="train", seed=0)
+        model = models.get_model(
+            num_classes=cfg.model.num_classes,
+            is_msg=False,
+            input_channels=cfg.data.input_channels,
+        )
+        return model, train_ds, cfg
+
+    def test_zero_train_batches_raises(self, tmp_path):
+        # 2 scenes at batch_size 32 with drop_last -> zero batches: must fail
+        # loudly at construction, not silently train nothing for 500 epochs
+        model, train_ds, cfg = self._make(tmp_path, n_scenes=2, batch_size=32)
+        from pointnet2_scannet_tpu.engine import Solver
+
+        with pytest.raises(ValueError, match="zero"):
+            Solver(model, train_ds, None, cfg, tmp_path)
+
+    def test_model_last_written_every_epoch(self, tmp_path):
+        # a crash in epoch 2 must leave epoch 1's model_last for resume()
+        model, train_ds, cfg = self._make(tmp_path)
+        from pointnet2_scannet_tpu.engine import Solver
+
+        solver = Solver(model, train_ds, None, cfg, tmp_path)
+        orig_regen = solver._regenerate
+        calls = {"n": 0}
+
+        def crashing_regen():
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("simulated crash in epoch 2")
+            orig_regen()
+
+        solver._regenerate = crashing_regen
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            solver(epochs=2, verbose=100)
+        assert (tmp_path / "model_last.msgpack").exists()
+        fresh = Solver(model, train_ds, None, cfg, tmp_path)
+        assert fresh.resume() == 1  # epoch 0 completed; resume from epoch 1
