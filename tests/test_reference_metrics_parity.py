@@ -116,9 +116,15 @@ def _random_cloud(rng, n=6000, dup=True, voxel_consistent=False):
         # surface voxel (under ANY offset convention), and labels/preds are a
         # function of the grid cell — so neither the dedup order nor the
         # voxel representative-point choice can matter; every metric output
-        # must then match the reference EXACTLY
+        # must then match the reference EXACTLY.
+        # voxel_consistent="boundary" drops the +0.05 half-cell offset so
+        # every coord sits EXACTLY on a 0.02 bin boundary (f32(k*0.1)/0.02
+        # is an exact integer in f32 but not f64) — the binning-arithmetic
+        # class where the native voxelizer once diverged from the
+        # reference's all-f32 numpy formula
         key = rng.integers(0, 20, (n // 2 if dup else n, 3))
-        pool = (key * 0.1 + 0.05).astype(np.float32)
+        off = 0.0 if voxel_consistent == "boundary" else 0.05
+        pool = (key * 0.1 + off).astype(np.float32)
         idx = rng.integers(0, len(pool), n)
         coords = pool[idx]
         k = key[idx]
@@ -148,6 +154,28 @@ class TestMetricsParity:
         for i, (a, b) in enumerate(zip(our_acc, ref_acc)):
             # atol 1e-9: the reference normalizes its calibration weights in
             # float32 (eval.py:89-91), ours stay float64
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-9,
+                err_msg=f"compute_acc output {i}",
+            )
+        ref_miou = ref_eval.compute_miou(c, p, t, w)
+        our_miou = M.compute_miou(c, p, t, w, 20)
+        for i, (a, b) in enumerate(zip(our_miou, ref_miou)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-12, atol=0,
+                err_msg=f"compute_miou output {i}",
+            )
+
+    def test_boundary_grid_exact(self, ref_stack):
+        """Coords exactly on voxel-bin boundaries: native binning must match
+        the reference's f32 formula bit-for-bit (regression for the f64
+        division bug in cpp/hostops.cpp voxelize_unique)."""
+        ref_eval = ref_stack[0]
+        rng = np.random.default_rng(3)
+        c, p, t, w = _random_cloud(rng, voxel_consistent="boundary")
+        ref_acc = ref_eval.compute_acc(c, p, t, w)
+        our_acc = M.compute_acc(c, p, t, w, 20)
+        for i, (a, b) in enumerate(zip(our_acc, ref_acc)):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-9,
                 err_msg=f"compute_acc output {i}",
