@@ -155,32 +155,11 @@ def time_train(
 
 
 def eval_scenes_per_sec(n_scenes: int = 6) -> float:
-    import jax
+    # one copy of the eval harness: scripts/bench_eval.py (it and this bench
+    # had drifted when each carried its own)
+    from scripts.bench_eval import measure
 
-    from pointnet2_scannet_tpu import models
-    from pointnet2_scannet_tpu.config import DataConfig
-    from pointnet2_scannet_tpu.data.synthetic import make_synthetic_store
-    from pointnet2_scannet_tpu.data.wholescene import WholeSceneDataset
-    from pointnet2_scannet_tpu.engine.evaluator import WholeSceneEvaluator
-
-    store = make_synthetic_store(n_scenes, n_points=100_000)
-    ds = WholeSceneDataset(
-        store, DataConfig(npoints=8192, use_color=True, use_normal=True), seed=0
-    )
-    model = models.get_model(20, is_msg=False, input_channels=6)
-    pc = np.zeros((1, 8192, 9), np.float32)
-    variables = jax.jit(lambda: model.init(jax.random.key(0), pc, train=False))()
-    ev = WholeSceneEvaluator(model.apply, variables, batch_size=16)
-    # compile + warm the index-streaming graphs on a one-scene dataset
-    warm = WholeSceneDataset(
-        make_synthetic_store(1, n_points=100_000),
-        DataConfig(npoints=8192, use_color=True, use_normal=True),
-        seed=0,
-    )
-    ev.evaluate(warm, verbose=False)
-    t0 = time.perf_counter()
-    ev.evaluate(ds, verbose=False)
-    return n_scenes / (time.perf_counter() - t0)
+    return measure(n_scenes)[0]
 
 
 def main(scale: bool = False) -> None:
@@ -256,7 +235,7 @@ def main(scale: bool = False) -> None:
                 m = models.get_model(
                     num_classes=20, is_msg=False, input_channels=6, dtype=dt
                 )
-                s = time_train(m, batch_size=bs)
+                s = time_train(m, batch_size=bs, fused=FUSED)
                 print(
                     json.dumps(
                         {
@@ -293,7 +272,7 @@ def main(scale: bool = False) -> None:
                 m = models.get_model(
                     num_classes=20, is_msg=False, input_channels=6, dtype=dt
                 )
-                s = time_train(m, batch_size=bs, npoints=npts)
+                s = time_train(m, batch_size=bs, npoints=npts, fused=FUSED)
                 print(
                     json.dumps(
                         {

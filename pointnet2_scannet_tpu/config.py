@@ -112,6 +112,13 @@ class TrainConfig:
     # host dispatch latency). 1 = per-batch dispatch; leftovers when the
     # epoch length doesn't divide K run per-batch.
     fused_steps: int = 1
+    # run-mode knobs, serialized so --resume rebuilds the SAME kind of run
+    # (a whole-scene run silently resumed as a chunked Solver run trains the
+    # wrong recipe without erroring):
+    wholescene: bool = False  # --use_wholescene (grad-accum per scene)
+    synthetic: bool = False  # --synthetic (generated scenes, no ScanNet)
+    synthetic_scenes: int = 8
+    debug: bool = False  # --debug (single-scene train/val)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -17,7 +17,10 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def main(n_scenes: int = 4) -> None:
+def measure(n_scenes: int = 4, batch_size: int = 16):
+    """Shared eval-throughput harness (also the driver bench's
+    eval_scenes_per_sec — one copy, bench.py imports this). Returns
+    (scenes_per_sec, report)."""
     import jax
 
     from pointnet2_scannet_tpu import models
@@ -25,9 +28,6 @@ def main(n_scenes: int = 4) -> None:
     from pointnet2_scannet_tpu.data.synthetic import make_synthetic_store
     from pointnet2_scannet_tpu.data.wholescene import WholeSceneDataset
     from pointnet2_scannet_tpu.engine.evaluator import WholeSceneEvaluator
-    from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
 
     store = make_synthetic_store(n_scenes, n_points=100_000)
     ds = WholeSceneDataset(
@@ -37,7 +37,7 @@ def main(n_scenes: int = 4) -> None:
     rng = np.random.default_rng(0)
     pc = rng.uniform(0, 1.5, (1, 8192, 9)).astype(np.float32)
     variables = jax.jit(lambda: model.init(jax.random.key(0), pc, train=False))()
-    ev = WholeSceneEvaluator(model.apply, variables, batch_size=16)
+    ev = WholeSceneEvaluator(model.apply, variables, batch_size=batch_size)
 
     # warm up the index-streaming compiles on a one-scene dataset
     warm = WholeSceneDataset(
@@ -49,12 +49,20 @@ def main(n_scenes: int = 4) -> None:
 
     t0 = time.perf_counter()
     report = ev.evaluate(ds, verbose=False)
-    dt = time.perf_counter() - t0
+    return n_scenes / (time.perf_counter() - t0), report
+
+
+def main(n_scenes: int = 4) -> None:
+    from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    sps, report = measure(n_scenes)
+    dt = n_scenes / sps
     print(
         json.dumps(
             {
                 "metric": "wholescene_eval_scenes_per_sec",
-                "value": round(n_scenes / dt, 3),
+                "value": round(sps, 3),
                 "unit": "scenes/sec",
                 "detail": f"{n_scenes} synthetic 100k-pt scenes, point_acc {report.point_acc:.3f}",
             }

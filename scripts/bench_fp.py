@@ -99,6 +99,9 @@ def main_three_nn(skip_xla: bool = False):
         # kernel actually runs
         variants = [] if skip_xla else [("xla", None)]
         if m % 128 == 0 and n % min(n, 256) == 0:
+            # call the query-major kernel DIRECTLY: the three_nn wrapper's
+            # transposed-kernel gate fires first at these shapes, so
+            # three_nn(use_pallas=True) would silently bench pallas-t here
             variants.insert(0, ("pallas", None))
         else:
             print(f"{name}: pallas skipped (m={m} not lane-aligned)")
@@ -110,10 +113,10 @@ def main_three_nn(skip_xla: bool = False):
             def tnn(acc, unk, kno, label=label, tn=tn):
                 if label.startswith("pallas-t"):
                     d2, i = three_nn_pallas_t(unk + acc * 1e-20, kno, tile_n=tn)
+                elif label == "pallas":
+                    d2, i = three_nn_pallas(unk + acc * 1e-20, kno)
                 else:
-                    d2, i = three_nn(
-                        unk + acc * 1e-20, kno, use_pallas=label == "pallas"
-                    )
+                    d2, i = three_nn(unk + acc * 1e-20, kno, use_pallas=False)
                 return (
                     jnp.sum(d2) * 1e-20
                     + jnp.sum(i).astype(jnp.float32) * 1e-20

@@ -132,7 +132,10 @@ def main_msg():
                 f"{name} dual ball_query (N={N}, M={M}, K={ks})", dual, xyz, q
             )
         else:
-            print(f"{name} dual ball_query: n/a (N={N} unaligned; prod uses 2x single)")
+            print(
+                f"{name} dual ball_query: n/a (N={N}%128 or M={M}%256 "
+                "unaligned; prod uses 2x single)"
+            )
 
         def two_single(acc, xyz, q, radii=radii, ks=ks):
             s = jnp.int32(0)

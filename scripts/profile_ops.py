@@ -111,5 +111,7 @@ if __name__ == "__main__":
             lambda g2=g2: g2(variables["params"]),
             iters=3,
         )
-    ops_config.interpolate_dense = False
+    # restore the dataclass defaults (interpolate_dense None = auto;
+    # pinning it False here left the slower lowering globally selected)
+    ops_config.interpolate_dense = None
     ops_config.group_segsum = False

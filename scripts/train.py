@@ -65,6 +65,10 @@ def build_config(args) -> "RunConfig":
             num_devices=args.num_devices,
             shuffle=args.shuffle,
             fused_steps=args.fused_steps,
+            wholescene=args.use_wholescene,
+            synthetic=args.synthetic,
+            synthetic_scenes=args.synthetic_scenes,
+            debug=args.debug,
         ),
     )
 
@@ -73,18 +77,19 @@ def load_scene_list(path: str) -> list[str]:
     return [l.strip() for l in open(path) if l.strip()]
 
 
-def make_stores(cfg, args):
+def make_stores(cfg):
     from pointnet2_scannet_tpu.data.scene_store import SceneStore
     from pointnet2_scannet_tpu.data.synthetic import make_synthetic_store
 
-    if args.synthetic:
-        train_store = make_synthetic_store(args.synthetic_scenes, seed=0)
-        val_store = make_synthetic_store(max(args.synthetic_scenes // 4, 1), seed=1000)
+    if cfg.train.synthetic:
+        n = cfg.train.synthetic_scenes
+        train_store = make_synthetic_store(n, seed=0)
+        val_store = make_synthetic_store(max(n // 4, 1), seed=1000)
         return train_store, val_store
 
     train_ids = load_scene_list(cfg.paths.train_list)
     val_ids = load_scene_list(cfg.paths.val_list)
-    if args.debug:
+    if cfg.train.debug:
         # the reference --debug trains and validates on one scene
         # (scripts/train.py:72-74)
         train_ids = train_ids[:1]
@@ -113,6 +118,19 @@ def train(args) -> None:
 
         output_dir = pathlib.Path(args.resume)
         cfg = RunConfig.load(output_dir / "config.json")
+        # run MODE comes from the saved config, never re-typed CLI flags —
+        # a whole-scene run resumed without --use_wholescene must not
+        # silently continue as a chunked run (and vice versa)
+        for flag, saved in (
+            ("use_wholescene", cfg.train.wholescene),
+            ("synthetic", cfg.train.synthetic),
+            ("debug", cfg.train.debug),
+        ):
+            if getattr(args, flag) and not saved:
+                raise SystemExit(
+                    f"--{flag} passed but the resumed run was not a "
+                    f"{flag} run (config.json disagrees)"
+                )
     else:
         cfg = build_config(args)
         stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
@@ -121,8 +139,8 @@ def train(args) -> None:
         output_dir = pathlib.Path(cfg.paths.output_root) / stamp
         output_dir.mkdir(parents=True, exist_ok=True)
 
-    train_store, val_store = make_stores(cfg, args)
-    if args.use_wholescene:
+    train_store, val_store = make_stores(cfg)
+    if cfg.train.wholescene:
         # whole-scene training: one gradient-accumulated update per scene
         # (reference --use_wholescene, scripts/train.py:23 + solver.py:155-169)
         train_ds = WholeSceneDataset(train_store, cfg.data, seed=args.seed)

@@ -158,3 +158,57 @@ class TestSolverGuards:
         assert (tmp_path / "model_last.msgpack").exists()
         fresh = Solver(model, train_ds, None, cfg, tmp_path)
         assert fresh.resume() == 1  # epoch 0 completed; resume from epoch 1
+
+
+class TestRunModeSerialization:
+    """--resume must rebuild the same KIND of run: the mode flags
+    (use_wholescene/synthetic/debug) are serialized in TrainConfig and the
+    train CLI derives datasets/solver class from the saved config."""
+
+    def _train_mod(self):
+        import importlib.util
+        import pathlib
+
+        p = pathlib.Path(__file__).parent.parent / "scripts" / "train.py"
+        spec = importlib.util.spec_from_file_location("train_cli", p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_mode_flags_roundtrip(self, tmp_path):
+        from pointnet2_scannet_tpu.config import RunConfig
+
+        mod = self._train_mod()
+        args = mod.parse_args(
+            ["--use_wholescene", "--synthetic", "--synthetic_scenes", "3",
+             "--tag", "mode"]
+        )
+        cfg = mod.build_config(args)
+        assert cfg.train.wholescene and cfg.train.synthetic
+        assert cfg.train.synthetic_scenes == 3 and not cfg.train.debug
+        cfg.save(tmp_path / "config.json")
+        back = RunConfig.load(tmp_path / "config.json")
+        assert back.train.wholescene and back.train.synthetic
+        assert back.train.synthetic_scenes == 3
+
+    def test_old_config_without_mode_fields_loads(self, tmp_path):
+        # pre-round-3 config.json files lack the mode keys: defaults apply
+        import json
+
+        from pointnet2_scannet_tpu.config import RunConfig
+
+        mod = self._train_mod()
+        cfg = mod.build_config(mod.parse_args(["--tag", "old"]))
+        raw = json.loads(cfg.to_json())
+        for k in ("wholescene", "synthetic", "synthetic_scenes", "debug"):
+            raw["train"].pop(k)
+        back = RunConfig.from_json(json.dumps(raw))
+        assert not back.train.wholescene and not back.train.synthetic
+
+    def test_make_stores_follows_config_not_args(self):
+        mod = self._train_mod()
+        args = mod.parse_args(["--synthetic", "--synthetic_scenes", "4"])
+        cfg = mod.build_config(args)
+        train_store, val_store = mod.make_stores(cfg)
+        assert len(train_store.scene_ids) == 4
+        assert len(val_store.scene_ids) == 1
