@@ -13,6 +13,13 @@ from pointnet2_scannet_tpu.models.modules import (
     SetAbstractionMSGVotes,
     SetAbstractionVotes,
 )
+from pointnet2_scannet_tpu.models.pointnet2_cls import (
+    PointNet2Cls,
+    PointNet2ClsSpec,
+    cls_msg_spec,
+    cls_ssg_spec,
+    get_cls_model,
+)
 from pointnet2_scannet_tpu.models.pointnet2 import (
     PointNet2Spec,
     PointNet2SemSeg,
@@ -31,6 +38,11 @@ __all__ = [
     "SetAbstractionMSGVotes",
     "LearnableFeaturePropagationMSG",
     "FeaturePropagation",
+    "PointNet2Cls",
+    "PointNet2ClsSpec",
+    "cls_ssg_spec",
+    "cls_msg_spec",
+    "get_cls_model",
     "PointNet2Spec",
     "PointNet2SemSeg",
     "ssg_spec",

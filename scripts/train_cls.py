@@ -1,0 +1,169 @@
+"""Shape-classification training CLI (beyond-reference model family).
+
+Trains PointNet2Cls (models/pointnet2_cls.py) on the synthetic parametric
+shape dataset (data/shapes.py) with the SAME engine the segmentation models
+use — train_step/eval_step are shape-generic (per-row CE + confusion matrix),
+so the cls path exercises identical optimizer/BN/shard_map machinery: on a
+dp-only multi-device mesh the model is built with bn_axis_name and the step
+runs as an explicit shard_map (each device traces its own Pallas geometry
+kernels on its batch shard, parallel/step.py).
+
+Writes <output_root>/<stamp>_<TAG>/ with config.json, info.json,
+model_best.msgpack (gated on val accuracy), model_last.msgpack, and
+all_scalars.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def train(args) -> None:
+    from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from pointnet2_scannet_tpu.data.shapes import SHAPE_CLASSES, sample_cls_batch
+    from pointnet2_scannet_tpu.engine.checkpoint import save_checkpoint
+    from pointnet2_scannet_tpu.engine.train_state import (
+        create_train_state,
+        make_lr_schedule,
+        make_optimizer,
+    )
+    from pointnet2_scannet_tpu.models import get_cls_model
+    from pointnet2_scannet_tpu.parallel.mesh import make_mesh
+    from pointnet2_scannet_tpu.parallel.step import (
+        make_shardmap_eval_step,
+        make_shardmap_train_step,
+    )
+
+    num_classes = args.classes
+    mesh = make_mesh(args.num_devices, batch_size=args.batch_size)
+    bn_axis = mesh.axis_names[0] if mesh.size > 1 else None
+    model = get_cls_model(
+        num_classes,
+        is_msg=args.use_msg,
+        bn=not args.no_bn,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+        bn_axis_name=bn_axis,
+    )
+
+    schedule = make_lr_schedule(args.lr, args.ds, args.df, args.train_batches)
+    tx = make_optimizer(schedule, args.wd)
+    sample = jnp.zeros((args.batch_size, args.npoints, 3), jnp.float32)
+    state = create_train_state(model, jax.random.key(args.seed), sample, tx)
+
+    train_step = make_shardmap_train_step(mesh, num_classes=num_classes)
+    eval_step = make_shardmap_eval_step(mesh, num_classes=num_classes)
+    strategy = f"shard_map dp={mesh.size}" if mesh.size > 1 else "single-device"
+
+    stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
+    if args.tag:
+        stamp += "_" + args.tag.upper()
+    output_dir = pathlib.Path(args.output_root) / stamp
+    output_dir.mkdir(parents=True, exist_ok=True)
+    config_json = json.dumps(
+        {**vars(args), "shape_classes": SHAPE_CLASSES[:num_classes]},
+        indent=2,
+        default=str,
+    )
+    (output_dir / "config.json").write_text(config_json)
+    info = {
+        "parallel": strategy,
+        "num_params": int(
+            sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(state.params))
+        ),
+    }
+    (output_dir / "info.json").write_text(json.dumps(info, indent=2))
+    print(f"parallel strategy: {strategy}; training -> {output_dir}")
+
+    rng = np.random.default_rng(args.seed)
+    val_rng = np.random.default_rng(args.seed + 10_000)
+    # fixed validation set, augment off: accuracy is comparable across epochs
+    val_batches = [
+        sample_cls_batch(val_rng, args.batch_size, args.npoints, num_classes, augment=False)
+        for _ in range(args.val_batches)
+    ]
+    dropout_key = jax.random.key(args.seed + 1)
+
+    scalars: list[dict] = []
+    best_acc, t0 = -1.0, time.time()
+    for epoch in range(args.epoch):
+        losses = []
+        for it in range(args.train_batches):
+            batch = sample_cls_batch(rng, args.batch_size, args.npoints, num_classes)
+            state, stats = train_step(state, batch, dropout_key)
+            losses.append(float(stats["loss"]))
+            if args.verbose and (it + 1) % args.verbose == 0:
+                print(
+                    f"epoch {epoch + 1} iter {it + 1}/{args.train_batches} "
+                    f"loss {losses[-1]:.4f}"
+                )
+        cm = np.zeros((num_classes, num_classes), np.int64)
+        for batch in val_batches:
+            out = eval_step(state, batch)
+            cm += np.asarray(out["confusion"], np.int64)
+        acc = float(np.trace(cm)) / max(cm.sum(), 1)
+        scalars.append(
+            {"epoch": epoch + 1, "train_loss": float(np.mean(losses)), "val_acc": acc}
+        )
+        print(
+            f"epoch {epoch + 1}/{args.epoch}: train loss "
+            f"{np.mean(losses):.4f}, val acc {acc:.4f} "
+            f"({time.time() - t0:.1f}s)"
+        )
+        save_checkpoint(
+            output_dir, "model_last", state, epoch=epoch, config_json=config_json
+        )
+        if acc > best_acc:
+            best_acc = acc
+            save_checkpoint(
+                output_dir,
+                "model_best",
+                state,
+                epoch=epoch,
+                best={"val_acc": acc},
+                config_json=config_json,
+            )
+    (output_dir / "all_scalars.json").write_text(json.dumps(scalars, indent=2))
+    print(f"best val acc: {best_acc:.4f}")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--tag", type=str, default="")
+    p.add_argument(
+        "--classes", type=int, default=8,
+        help="number of shape classes (first K of data/shapes.SHAPE_CLASSES)",
+    )
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--epoch", type=int, default=20)
+    p.add_argument("--train_batches", type=int, default=50, help="batches per epoch")
+    p.add_argument("--val_batches", type=int, default=8)
+    p.add_argument("--npoints", type=int, default=1024)
+    p.add_argument("--verbose", type=int, default=0, help="iters between reports")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--wd", type=float, default=0.0)
+    p.add_argument("--ds", type=int, default=10, help="lr decay step (epochs)")
+    p.add_argument("--df", type=float, default=0.7)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_msg", action="store_true")
+    p.add_argument("--no_bn", action="store_true")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--num_devices", type=int, default=1)
+    p.add_argument("--output_root", type=str, default="outputs_cls")
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    train(parse_args())
