@@ -134,6 +134,55 @@ _SAMPLERS = {
     "octahedron": _octahedron,
 }
 
+# Per-category part schemes (ShapeNet-part style: every category owns a
+# contiguous block of the global part-id space). Parts are defined in the
+# CANONICAL frame and are z-rotation invariant, so they stay geometrically
+# learnable under the augment recipe (rotation is about z only).
+SHAPE_PARTS: dict[str, tuple[str, ...]] = {
+    "sphere": ("upper_hemisphere", "lower_hemisphere"),
+    "cube": ("z_faces", "side_faces"),
+    "cylinder": ("side", "top_cap", "bottom_cap"),
+    "cone": ("lateral", "base"),
+    "torus": ("outer_half", "inner_half"),
+    "plane": ("interior", "rim"),
+    "pyramid": ("faces", "base"),
+    "octahedron": ("upper_half", "lower_half"),
+}
+
+
+def _part_ids(kind: str, pts: np.ndarray) -> np.ndarray:
+    """Local part ids for canonical-frame points of `kind` (pre-augment)."""
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    if kind == "sphere":
+        return (z < 0).astype(np.int32)
+    if kind == "cube":
+        return (np.abs(np.abs(z) - 1.0) > 1e-6).astype(np.int32)
+    if kind == "cylinder":
+        on_cap = np.abs(np.abs(z) - 1.0) < 1e-6
+        return np.where(on_cap, np.where(z > 0, 1, 2), 0).astype(np.int32)
+    if kind == "cone":
+        return (np.abs(z + 1.0) < 1e-6).astype(np.int32)
+    if kind == "torus":
+        ring = np.sqrt(x**2 + y**2)
+        return (ring < 1.0).astype(np.int32)
+    if kind == "plane":
+        return (np.maximum(np.abs(x), np.abs(y)) > 0.8).astype(np.int32)
+    if kind == "pyramid":
+        return (np.abs(z + 0.6) < 1e-6).astype(np.int32)
+    if kind == "octahedron":
+        return (z < 0).astype(np.int32)
+    raise ValueError(kind)
+
+
+def part_offsets(num_categories: int) -> np.ndarray:
+    """Global part-id offset per category (first K of SHAPE_CLASSES)."""
+    sizes = [len(SHAPE_PARTS[k]) for k in SHAPE_CLASSES[:num_categories]]
+    return np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+
+
+def num_parts_total(num_categories: int) -> int:
+    return sum(len(SHAPE_PARTS[k]) for k in SHAPE_CLASSES[:num_categories])
+
 
 def make_shape_cloud(
     kind: str,
@@ -141,11 +190,17 @@ def make_shape_cloud(
     rng: np.random.Generator,
     *,
     augment: bool = True,
-) -> np.ndarray:
+    return_parts: bool = False,
+):
     """(n_points, 3) float32 surface sample of `kind`, optionally augmented
     with the standard cls recipe (z-rotation, anisotropic scale, jitter,
-    translation). Clouds end up centered ~(2, 2, 2) — off-origin by design."""
+    translation). Clouds end up centered ~(2, 2, 2) — off-origin by design.
+
+    return_parts=True additionally returns (n_points,) int32 LOCAL part ids
+    (SHAPE_PARTS[kind] indices), computed in the canonical frame before
+    augmentation."""
     pts = _SAMPLERS[kind](rng, n_points)
+    parts = _part_ids(kind, pts) if return_parts else None
     if augment:
         theta = rng.uniform(0, 2 * np.pi)
         c, s = np.cos(theta), np.sin(theta)
@@ -156,7 +211,8 @@ def make_shape_cloud(
         center = rng.uniform(1.5, 2.5, 3)
     else:
         center = np.full(3, 2.0)
-    return (pts + center).astype(np.float32)
+    cloud = (pts + center).astype(np.float32)
+    return (cloud, parts) if return_parts else cloud
 
 
 def sample_cls_batch(
@@ -185,4 +241,42 @@ def sample_cls_batch(
         "points": points,
         "labels": labels,
         "weights": np.ones(batch_size, np.float32),
+    }
+
+
+def sample_partseg_batch(
+    rng: np.random.Generator,
+    batch_size: int,
+    n_points: int,
+    num_categories: int,
+    *,
+    augment: bool = True,
+) -> dict[str, np.ndarray]:
+    """One part-segmentation batch in the engine's per-point convention:
+    points (B, N, 3 + num_categories) f32 — xyz with the category one-hot
+    appended as constant per-point channels (the PointNet2PartSeg input
+    convention) — labels (B, N) int32 GLOBAL part ids, weights (B, N) ones,
+    category (B,) int32."""
+    if not 1 <= num_categories <= len(SHAPE_CLASSES):
+        raise ValueError(
+            f"num_categories must be in [1, {len(SHAPE_CLASSES)}], got "
+            f"{num_categories}"
+        )
+    offsets = part_offsets(num_categories)
+    cats = rng.integers(0, num_categories, batch_size).astype(np.int32)
+    points = np.empty((batch_size, n_points, 3 + num_categories), np.float32)
+    labels = np.empty((batch_size, n_points), np.int32)
+    for i, c in enumerate(cats):
+        cloud, parts = make_shape_cloud(
+            SHAPE_CLASSES[int(c)], n_points, rng, augment=augment, return_parts=True
+        )
+        onehot = np.zeros((n_points, num_categories), np.float32)
+        onehot[:, int(c)] = 1.0
+        points[i] = np.concatenate([cloud, onehot], axis=1)
+        labels[i] = parts + offsets[int(c)]
+    return {
+        "points": points,
+        "labels": labels,
+        "weights": np.ones((batch_size, n_points), np.float32),
+        "category": cats,
     }

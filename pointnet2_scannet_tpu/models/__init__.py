@@ -20,6 +20,13 @@ from pointnet2_scannet_tpu.models.pointnet2_cls import (
     cls_ssg_spec,
     get_cls_model,
 )
+from pointnet2_scannet_tpu.models.pointnet2_partseg import (
+    PointNet2PartSeg,
+    PointNet2PartSegSpec,
+    get_partseg_model,
+    partseg_msg_spec,
+    partseg_ssg_spec,
+)
 from pointnet2_scannet_tpu.models.pointnet2 import (
     PointNet2Spec,
     PointNet2SemSeg,
@@ -43,6 +50,11 @@ __all__ = [
     "cls_ssg_spec",
     "cls_msg_spec",
     "get_cls_model",
+    "PointNet2PartSeg",
+    "PointNet2PartSegSpec",
+    "partseg_ssg_spec",
+    "partseg_msg_spec",
+    "get_partseg_model",
     "PointNet2Spec",
     "PointNet2SemSeg",
     "ssg_spec",

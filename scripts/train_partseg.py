@@ -1,0 +1,190 @@
+"""Part-segmentation training CLI (beyond-reference model family).
+
+Trains PointNet2PartSeg (models/pointnet2_partseg.py) on the synthetic
+parametric shape dataset with per-point part labels (data/shapes.py,
+ShapeNet-part-style global part-id blocks per category). Reuses the exact
+segmentation engine — train_step/eval_step with (B, N) labels/weights and
+the on-device confusion matrix — including the explicit shard_map dp step
+on multi-device meshes (model built with bn_axis_name; parallel/step.py).
+
+Writes <output_root>/<stamp>_<TAG>/ with config.json, info.json,
+model_best.msgpack (gated on val part mIoU), model_last.msgpack, and
+all_scalars.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def train(args) -> None:
+    from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from pointnet2_scannet_tpu.data.shapes import (
+        SHAPE_CLASSES,
+        num_parts_total,
+        sample_partseg_batch,
+    )
+    from pointnet2_scannet_tpu.engine.checkpoint import save_checkpoint
+    from pointnet2_scannet_tpu.engine.metrics import confusion_to_point_metrics
+    from pointnet2_scannet_tpu.engine.train_state import (
+        create_train_state,
+        make_lr_schedule,
+        make_optimizer,
+    )
+    from pointnet2_scannet_tpu.models import get_partseg_model
+    from pointnet2_scannet_tpu.parallel.mesh import make_mesh
+    from pointnet2_scannet_tpu.parallel.step import (
+        make_shardmap_eval_step,
+        make_shardmap_train_step,
+    )
+
+    num_categories = args.categories
+    num_parts = num_parts_total(num_categories)
+    mesh = make_mesh(args.num_devices, batch_size=args.batch_size)
+    bn_axis = mesh.axis_names[0] if mesh.size > 1 else None
+    model = get_partseg_model(
+        num_parts,
+        num_categories,
+        is_msg=args.use_msg,
+        bn=not args.no_bn,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+        bn_axis_name=bn_axis,
+    )
+
+    schedule = make_lr_schedule(args.lr, args.ds, args.df, args.train_batches)
+    tx = make_optimizer(schedule, args.wd)
+    sample = jnp.zeros(
+        (args.batch_size, args.npoints, 3 + num_categories), jnp.float32
+    )
+    state = create_train_state(model, jax.random.key(args.seed), sample, tx)
+
+    train_step = make_shardmap_train_step(mesh, num_classes=num_parts)
+    eval_step = make_shardmap_eval_step(mesh, num_classes=num_parts)
+    strategy = f"shard_map dp={mesh.size}" if mesh.size > 1 else "single-device"
+
+    stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
+    if args.tag:
+        stamp += "_" + args.tag.upper()
+    output_dir = pathlib.Path(args.output_root) / stamp
+    output_dir.mkdir(parents=True, exist_ok=True)
+    config_json = json.dumps(
+        {
+            **vars(args),
+            "shape_classes": SHAPE_CLASSES[:num_categories],
+            "num_parts": num_parts,
+        },
+        indent=2,
+        default=str,
+    )
+    (output_dir / "config.json").write_text(config_json)
+    info = {
+        "parallel": strategy,
+        "num_params": int(
+            sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(state.params))
+        ),
+    }
+    (output_dir / "info.json").write_text(json.dumps(info, indent=2))
+    print(f"parallel strategy: {strategy}; training -> {output_dir}")
+
+    rng = np.random.default_rng(args.seed)
+    val_rng = np.random.default_rng(args.seed + 10_000)
+    val_batches = [
+        sample_partseg_batch(
+            val_rng, args.batch_size, args.npoints, num_categories, augment=False
+        )
+        for _ in range(args.val_batches)
+    ]
+    dropout_key = jax.random.key(args.seed + 1)
+
+    scalars: list[dict] = []
+    best_miou, t0 = -1.0, time.time()
+    for epoch in range(args.epoch):
+        losses = []
+        for it in range(args.train_batches):
+            batch = sample_partseg_batch(
+                rng, args.batch_size, args.npoints, num_categories
+            )
+            state, stats = train_step(state, batch, dropout_key)
+            losses.append(float(stats["loss"]))
+            if args.verbose and (it + 1) % args.verbose == 0:
+                print(
+                    f"epoch {epoch + 1} iter {it + 1}/{args.train_batches} "
+                    f"loss {losses[-1]:.4f}"
+                )
+        cm = np.zeros((num_parts, num_parts), np.int64)
+        for batch in val_batches:
+            out = eval_step(state, batch)
+            cm += np.asarray(out["confusion"], np.int64)
+        m = confusion_to_point_metrics(cm)
+        scalars.append(
+            {
+                "epoch": epoch + 1,
+                "train_loss": float(np.mean(losses)),
+                "val_acc": m["point_acc"],
+                "val_part_miou": m["point_miou"],
+            }
+        )
+        print(
+            f"epoch {epoch + 1}/{args.epoch}: train loss {np.mean(losses):.4f}, "
+            f"val acc {m['point_acc']:.4f}, part mIoU {m['point_miou']:.4f} "
+            f"({time.time() - t0:.1f}s)"
+        )
+        save_checkpoint(
+            output_dir, "model_last", state, epoch=epoch, config_json=config_json
+        )
+        if m["point_miou"] > best_miou:
+            best_miou = m["point_miou"]
+            save_checkpoint(
+                output_dir,
+                "model_best",
+                state,
+                epoch=epoch,
+                best={"val_part_miou": m["point_miou"]},
+                config_json=config_json,
+            )
+    (output_dir / "all_scalars.json").write_text(json.dumps(scalars, indent=2))
+    print(f"best val part mIoU: {best_miou:.4f}")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--tag", type=str, default="")
+    p.add_argument(
+        "--categories", type=int, default=8,
+        help="number of shape categories (first K of data/shapes.SHAPE_CLASSES;"
+        " the part-label space is their global part-id union)",
+    )
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--epoch", type=int, default=20)
+    p.add_argument("--train_batches", type=int, default=50, help="batches per epoch")
+    p.add_argument("--val_batches", type=int, default=8)
+    p.add_argument("--npoints", type=int, default=1024)
+    p.add_argument("--verbose", type=int, default=0, help="iters between reports")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--wd", type=float, default=0.0)
+    p.add_argument("--ds", type=int, default=10, help="lr decay step (epochs)")
+    p.add_argument("--df", type=float, default=0.7)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_msg", action="store_true")
+    p.add_argument("--no_bn", action="store_true")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--num_devices", type=int, default=1)
+    p.add_argument("--output_root", type=str, default="outputs_partseg")
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    train(parse_args())

@@ -9,8 +9,12 @@ import pytest
 
 from pointnet2_scannet_tpu.data.shapes import (
     SHAPE_CLASSES,
+    SHAPE_PARTS,
     make_shape_cloud,
+    num_parts_total,
+    part_offsets,
     sample_cls_batch,
+    sample_partseg_batch,
 )
 
 
@@ -56,3 +60,51 @@ def test_num_classes_bounds():
     rng = np.random.default_rng(0)
     with pytest.raises(ValueError):
         sample_cls_batch(rng, 4, 64, len(SHAPE_CLASSES) + 1)
+    with pytest.raises(ValueError):
+        sample_partseg_batch(rng, 4, 64, len(SHAPE_CLASSES) + 1)
+
+
+@pytest.mark.parametrize("kind", SHAPE_CLASSES)
+def test_part_labels_geometry(kind):
+    """Part ids match the canonical-frame geometric rules for every class."""
+    rng = np.random.default_rng(3)
+    pts, parts = make_shape_cloud(kind, 1024, rng, augment=False, return_parts=True)
+    p = pts.astype(np.float64) - 2.0  # back to the canonical frame
+    n_parts = len(SHAPE_PARTS[kind])
+    assert parts.shape == (1024,) and parts.min() >= 0 and parts.max() < n_parts
+    assert len(np.unique(parts)) == n_parts  # every part represented
+    if kind in ("sphere", "octahedron"):
+        np.testing.assert_array_equal(parts, (p[:, 2] < 0).astype(np.int32))
+    elif kind == "cylinder":
+        caps = np.isclose(np.abs(p[:, 2]), 1.0, atol=1e-5)
+        assert np.all(parts[~caps] == 0)
+        assert np.all((parts[caps] == 1) == (p[caps, 2] > 0))
+    elif kind == "torus":
+        ring = np.sqrt(p[:, 0] ** 2 + p[:, 1] ** 2)
+        np.testing.assert_array_equal(parts, (ring < 1.0).astype(np.int32))
+    elif kind == "cone":
+        np.testing.assert_array_equal(
+            parts, np.isclose(p[:, 2], -1.0, atol=1e-5).astype(np.int32)
+        )
+
+
+def test_partseg_batch_convention():
+    K = 3
+    b = sample_partseg_batch(np.random.default_rng(5), 8, 256, K)
+    assert b["points"].shape == (8, 256, 3 + K)
+    assert b["labels"].shape == (8, 256)
+    assert b["weights"].shape == (8, 256)
+    offsets = part_offsets(K)
+    total = num_parts_total(K)
+    assert b["labels"].min() >= 0 and b["labels"].max() < total
+    for i in range(8):
+        c = int(b["category"][i])
+        # one-hot channels constant per cloud and matching the category
+        onehot = b["points"][i, :, 3:]
+        expect = np.zeros(K, np.float32)
+        expect[c] = 1.0
+        np.testing.assert_array_equal(onehot, np.tile(expect, (256, 1)))
+        # labels confined to the category's global part block
+        lo = offsets[c]
+        hi = lo + len(SHAPE_PARTS[SHAPE_CLASSES[c]])
+        assert b["labels"][i].min() >= lo and b["labels"][i].max() < hi
