@@ -215,6 +215,47 @@ def confusion_matrix(
     return jnp.round(cm).astype(jnp.int32)
 
 
+def instance_part_miou(
+    preds: np.ndarray,
+    labels: np.ndarray,
+    category: np.ndarray,
+    offsets: np.ndarray,
+    sizes: np.ndarray,
+) -> tuple[float, dict[int, float]]:
+    """ShapeNet-part-style instance-average mIoU.
+
+    preds/labels: (B, N) int GLOBAL part ids; category: (B,) int; the parts
+    of category c occupy global ids [offsets[c], offsets[c] + sizes[c]).
+    Per shape: IoU of each of ITS category's parts (a part absent from both
+    gt and pred counts as IoU 1, the standard convention), averaged over the
+    category's parts. Returns (mean over shapes, per-category mean-of-shape-
+    IoUs). Predictions are the UNRESTRICTED global argmax — a pred outside
+    the shape's part block counts against every part's union via its gt
+    point (slightly stricter than category-masked-argmax protocols).
+    """
+    preds = np.asarray(preds)
+    labels = np.asarray(labels)
+    category = np.asarray(category)
+    shape_ious: list[float] = []
+    per_cat: dict[int, list[float]] = {}
+    for i in range(preds.shape[0]):
+        c = int(category[i])
+        lo = int(offsets[c])
+        part_ious = []
+        for p in range(lo, lo + int(sizes[c])):
+            gt = labels[i] == p
+            pd = preds[i] == p
+            union = np.logical_or(gt, pd).sum()
+            part_ious.append(
+                1.0 if union == 0 else float(np.logical_and(gt, pd).sum() / union)
+            )
+        iou = float(np.mean(part_ious))
+        shape_ious.append(iou)
+        per_cat.setdefault(c, []).append(iou)
+    mean = float(np.mean(shape_ious)) if shape_ious else 0.0
+    return mean, {c: float(np.mean(v)) for c, v in per_cat.items()}
+
+
 def confusion_to_point_metrics(cm: np.ndarray) -> dict[str, float]:
     """Point accuracy / per-class accuracy / mIoU from a confusion matrix,
     masked-averaged over seen classes like the solver reports

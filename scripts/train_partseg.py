@@ -34,11 +34,16 @@ def train(args) -> None:
 
     from pointnet2_scannet_tpu.data.shapes import (
         SHAPE_CLASSES,
+        SHAPE_PARTS,
         num_parts_total,
+        part_offsets,
         sample_partseg_batch,
     )
     from pointnet2_scannet_tpu.engine.checkpoint import save_checkpoint
-    from pointnet2_scannet_tpu.engine.metrics import confusion_to_point_metrics
+    from pointnet2_scannet_tpu.engine.metrics import (
+        confusion_to_point_metrics,
+        instance_part_miou,
+    )
     from pointnet2_scannet_tpu.engine.train_state import (
         create_train_state,
         make_lr_schedule,
@@ -109,6 +114,10 @@ def train(args) -> None:
     ]
     dropout_key = jax.random.key(args.seed + 1)
 
+    offsets = part_offsets(num_categories)
+    sizes = np.array(
+        [len(SHAPE_PARTS[k]) for k in SHAPE_CLASSES[:num_categories]], np.int32
+    )
     scalars: list[dict] = []
     best_miou, t0 = -1.0, time.time()
     for epoch in range(args.epoch):
@@ -125,21 +134,39 @@ def train(args) -> None:
                     f"loss {losses[-1]:.4f}"
                 )
         cm = np.zeros((num_parts, num_parts), np.int64)
+        shape_ious, cat_ious = [], []
         for batch in val_batches:
             out = eval_step(state, batch)
             cm += np.asarray(out["confusion"], np.int64)
+            ins, per_cat = instance_part_miou(
+                np.asarray(out["preds"]), batch["labels"], batch["category"],
+                offsets, sizes,
+            )
+            shape_ious.append(ins)
+            cat_ious.append(per_cat)
         m = confusion_to_point_metrics(cm)
+        # instance-average (mean over shapes) and category-average (mean over
+        # categories of their shapes' means) mIoU — the ShapeNet-part metrics
+        ins_miou = float(np.mean(shape_ious))
+        merged: dict[int, list[float]] = {}
+        for d in cat_ious:
+            for c, v in d.items():
+                merged.setdefault(c, []).append(v)
+        cat_miou = float(np.mean([np.mean(v) for v in merged.values()]))
         scalars.append(
             {
                 "epoch": epoch + 1,
                 "train_loss": float(np.mean(losses)),
                 "val_acc": m["point_acc"],
                 "val_part_miou": m["point_miou"],
+                "val_ins_miou": ins_miou,
+                "val_cat_miou": cat_miou,
             }
         )
         print(
             f"epoch {epoch + 1}/{args.epoch}: train loss {np.mean(losses):.4f}, "
-            f"val acc {m['point_acc']:.4f}, part mIoU {m['point_miou']:.4f} "
+            f"val acc {m['point_acc']:.4f}, part mIoU {m['point_miou']:.4f}, "
+            f"ins mIoU {ins_miou:.4f}, cat mIoU {cat_miou:.4f} "
             f"({time.time() - t0:.1f}s)"
         )
         save_checkpoint(

@@ -66,6 +66,8 @@ def test_train_partseg_dp8(tmp_path):
     assert len(scalars) == 2
     assert scalars[1]["train_loss"] < scalars[0]["train_loss"], scalars
     assert 0.0 <= scalars[-1]["val_part_miou"] <= 1.0
+    assert 0.0 <= scalars[-1]["val_ins_miou"] <= 1.0
+    assert 0.0 <= scalars[-1]["val_cat_miou"] <= 1.0
     cfg = json.loads((run_dir / "config.json").read_text())
     assert cfg["shape_classes"] == ["sphere", "cube"]
     assert cfg["num_parts"] == 4

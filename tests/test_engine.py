@@ -89,6 +89,37 @@ class TestConfusion:
         iou1 = 9 / (10 + 11 - 9)
         np.testing.assert_allclose(m["point_miou"], (iou0 + iou1) / 2)
 
+    def test_instance_part_miou(self):
+        """Hand-computed ShapeNet-style instance mIoU: two categories with
+        global part blocks [0,1] and [2,3,4]."""
+        from pointnet2_scannet_tpu.engine.metrics import instance_part_miou
+
+        offsets = np.array([0, 2], np.int32)
+        sizes = np.array([2, 3], np.int32)
+        labels = np.array(
+            [
+                [0, 0, 1, 1],  # cat 0
+                [2, 2, 3, 3],  # cat 1: part 4 absent from gt AND pred -> IoU 1
+            ],
+            np.int32,
+        )
+        preds = np.array(
+            [
+                [0, 1, 1, 1],  # part0: i=1,u=2 -> .5; part1: i=2,u=3 -> 2/3
+                [2, 2, 3, 0],  # part2: 2/2; part3: i=1,u=2 -> .5; part4: 1.0
+            ],
+            np.int32,
+        )
+        category = np.array([0, 1], np.int32)
+        ins, per_cat = instance_part_miou(preds, labels, category, offsets, sizes)
+        iou_shape0 = (0.5 + 2 / 3) / 2
+        iou_shape1 = (1.0 + 0.5 + 1.0) / 3
+        np.testing.assert_allclose(ins, (iou_shape0 + iou_shape1) / 2)
+        np.testing.assert_allclose(per_cat[0], iou_shape0)
+        np.testing.assert_allclose(per_cat[1], iou_shape1)
+        # an out-of-block pred (the 0 in shape 1) must not crash and only
+        # hurts via its gt part's union — already reflected in part3's 0.5
+
 
 def _naive_voxel(coords, tlabels, plabels, res=0.02):
     """Independent loop voxelization for cross-checking the fast path."""
