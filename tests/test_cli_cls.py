@@ -71,3 +71,24 @@ def test_train_cls_dp8(tmp_path):
     assert scalars[1]["train_loss"] < scalars[0]["train_loss"], scalars
     cfg = json.loads((run_dir / "config.json").read_text())
     assert cfg["shape_classes"] == ["sphere", "cube", "cylinder"]
+
+    # chain: standalone evaluator on the trained run (config rehydration,
+    # checkpoint restore, per-class report) — single device, fresh batches
+    boot = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import runpy, sys; sys.argv = ['scripts/eval_shapes.py', "
+        f"'--folder', {str(run_dir)!r}, '--batches', '2']; "
+        f"runpy.run_path({str(REPO / 'scripts/eval_shapes.py')!r}, "
+        "run_name='__main__')"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", boot],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, (
+        f"eval_shapes failed:\nSTDOUT:\n{proc.stdout[-4000:]}\n"
+        f"STDERR:\n{proc.stderr[-4000:]}"
+    )
+    assert "evaluating cls run" in proc.stdout
+    assert "overall accuracy:" in proc.stdout
+    assert "cylinder" in proc.stdout  # per-class table rows

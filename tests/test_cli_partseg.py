@@ -71,3 +71,31 @@ def test_train_partseg_dp8(tmp_path):
     cfg = json.loads((run_dir / "config.json").read_text())
     assert cfg["shape_classes"] == ["sphere", "cube"]
     assert cfg["num_parts"] == 4
+
+    # chain: standalone evaluator on the trained run with PLY dumping —
+    # config rehydration picks the partseg family, instance/category mIoU
+    # report prints, pred+gt part-colored PLYs land in <run>/preds/
+    boot = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import runpy, sys; sys.argv = ['scripts/eval_shapes.py', "
+        f"'--folder', {str(run_dir)!r}, '--batches', '2', '--dump_ply', '1']; "
+        f"runpy.run_path({str(REPO / 'scripts/eval_shapes.py')!r}, "
+        "run_name='__main__')"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", boot],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, (
+        f"eval_shapes failed:\nSTDOUT:\n{proc.stdout[-4000:]}\n"
+        f"STDERR:\n{proc.stderr[-4000:]}"
+    )
+    assert "evaluating partseg run" in proc.stdout
+    assert "instance-avg mIoU:" in proc.stdout
+    plys = sorted((run_dir / "preds").glob("shape000_*_*.ply"))
+    assert len(plys) == 2, plys  # pred + gt
+    from pointnet2_scannet_tpu.utils.ply import read_ply
+
+    verts = read_ply(plys[0])["vertex"]
+    assert len(verts) == 512
+    assert {"x", "y", "z", "red", "green", "blue"} <= set(verts.dtype.names)
