@@ -34,7 +34,10 @@ def train(args) -> None:
     import jax.numpy as jnp
 
     from pointnet2_scannet_tpu.data.shapes import SHAPE_CLASSES, sample_cls_batch
-    from pointnet2_scannet_tpu.engine.checkpoint import save_checkpoint
+    from pointnet2_scannet_tpu.engine.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
     from pointnet2_scannet_tpu.engine.train_state import (
         create_train_state,
         make_lr_schedule,
@@ -46,6 +49,23 @@ def train(args) -> None:
         make_shardmap_eval_step,
         make_shardmap_train_step,
     )
+
+    resume_dir = pathlib.Path(args.resume) if args.resume else None
+    if resume_dir is not None:
+        # every model/data/optimizer flag comes from the run's saved config
+        # (same no-retyped-flags rule as scripts/train.py --resume); only
+        # --epoch may EXTEND the run
+        saved = json.loads((resume_dir / "config.json").read_text())
+        epoch_target = (
+            int(saved["epoch"]) if args.epoch is None
+            else max(args.epoch, int(saved["epoch"]))
+        )
+        args = argparse.Namespace(
+            **{k: v for k, v in saved.items() if k != "shape_classes"}
+        )
+        args.resume, args.epoch = str(resume_dir), epoch_target
+    elif args.epoch is None:
+        args.epoch = 20
 
     num_classes = args.classes
     mesh = make_mesh(args.num_devices, batch_size=args.batch_size)
@@ -67,11 +87,14 @@ def train(args) -> None:
     eval_step = make_shardmap_eval_step(mesh, num_classes=num_classes)
     strategy = f"shard_map dp={mesh.size}" if mesh.size > 1 else "single-device"
 
-    stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
-    if args.tag:
-        stamp += "_" + args.tag.upper()
-    output_dir = pathlib.Path(args.output_root) / stamp
-    output_dir.mkdir(parents=True, exist_ok=True)
+    if resume_dir is not None:
+        output_dir = resume_dir  # continue in place
+    else:
+        stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
+        if args.tag:
+            stamp += "_" + args.tag.upper()
+        output_dir = pathlib.Path(args.output_root) / stamp
+        output_dir.mkdir(parents=True, exist_ok=True)
     config_json = json.dumps(
         {**vars(args), "shape_classes": SHAPE_CLASSES[:num_classes]},
         indent=2,
@@ -97,8 +120,27 @@ def train(args) -> None:
     dropout_key = jax.random.key(args.seed + 1)
 
     scalars: list[dict] = []
-    best_acc, t0 = -1.0, time.time()
-    for epoch in range(args.epoch):
+    best_acc, start_epoch = -1.0, 0
+    if resume_dir is not None:
+        state, meta = restore_checkpoint(output_dir, "model_last", state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        scal_path = output_dir / "all_scalars.json"
+        if scal_path.exists():
+            scalars = json.loads(scal_path.read_text())[:start_epoch]
+        best_meta = output_dir / "model_best.meta.json"
+        if best_meta.exists():
+            best_acc = float(
+                json.loads(best_meta.read_text()).get("best", {}).get("val_acc", -1.0)
+            )
+        # fresh-but-deterministic train stream: don't replay the run's first
+        # epochs' batches (the val set above stays the run's original one)
+        rng = np.random.default_rng([args.seed, start_epoch])
+        print(
+            f"resumed at epoch {start_epoch} (step {int(state.step)}, "
+            f"best val acc {best_acc:.4f}); training to epoch {args.epoch}"
+        )
+    t0 = time.time()
+    for epoch in range(start_epoch, args.epoch):
         losses = []
         for it in range(args.train_batches):
             batch = sample_cls_batch(rng, args.batch_size, args.npoints, num_classes)
@@ -147,7 +189,11 @@ def parse_args(argv=None):
         help="number of shape classes (first K of data/shapes.SHAPE_CLASSES)",
     )
     p.add_argument("--batch_size", type=int, default=32)
-    p.add_argument("--epoch", type=int, default=20)
+    p.add_argument(
+        "--epoch", type=int, default=None,
+        help="total epochs (default 20; on --resume defaults to the run's "
+        "saved target, pass a larger value to extend)",
+    )
     p.add_argument("--train_batches", type=int, default=50, help="batches per epoch")
     p.add_argument("--val_batches", type=int, default=8)
     p.add_argument("--npoints", type=int, default=1024)
@@ -162,6 +208,11 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--num_devices", type=int, default=1)
     p.add_argument("--output_root", type=str, default="outputs_cls")
+    p.add_argument(
+        "--resume", type=str, default=None,
+        help="run dir to continue in place (flags rehydrated from its "
+        "config.json; --epoch may extend the run)",
+    )
     return p.parse_args(argv)
 
 

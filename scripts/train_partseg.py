@@ -39,7 +39,10 @@ def train(args) -> None:
         part_offsets,
         sample_partseg_batch,
     )
-    from pointnet2_scannet_tpu.engine.checkpoint import save_checkpoint
+    from pointnet2_scannet_tpu.engine.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
     from pointnet2_scannet_tpu.engine.metrics import (
         confusion_to_point_metrics,
         instance_part_miou,
@@ -55,6 +58,26 @@ def train(args) -> None:
         make_shardmap_eval_step,
         make_shardmap_train_step,
     )
+
+    resume_dir = pathlib.Path(args.resume) if args.resume else None
+    if resume_dir is not None:
+        # every model/data/optimizer flag comes from the run's saved config
+        # (same no-retyped-flags rule as scripts/train.py --resume); only
+        # --epoch may EXTEND the run
+        saved = json.loads((resume_dir / "config.json").read_text())
+        epoch_target = (
+            int(saved["epoch"]) if args.epoch is None
+            else max(args.epoch, int(saved["epoch"]))
+        )
+        args = argparse.Namespace(
+            **{
+                k: v for k, v in saved.items()
+                if k not in ("shape_classes", "num_parts")
+            }
+        )
+        args.resume, args.epoch = str(resume_dir), epoch_target
+    elif args.epoch is None:
+        args.epoch = 20
 
     num_categories = args.categories
     num_parts = num_parts_total(num_categories)
@@ -80,11 +103,14 @@ def train(args) -> None:
     eval_step = make_shardmap_eval_step(mesh, num_classes=num_parts)
     strategy = f"shard_map dp={mesh.size}" if mesh.size > 1 else "single-device"
 
-    stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
-    if args.tag:
-        stamp += "_" + args.tag.upper()
-    output_dir = pathlib.Path(args.output_root) / stamp
-    output_dir.mkdir(parents=True, exist_ok=True)
+    if resume_dir is not None:
+        output_dir = resume_dir  # continue in place
+    else:
+        stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
+        if args.tag:
+            stamp += "_" + args.tag.upper()
+        output_dir = pathlib.Path(args.output_root) / stamp
+        output_dir.mkdir(parents=True, exist_ok=True)
     config_json = json.dumps(
         {
             **vars(args),
@@ -119,8 +145,29 @@ def train(args) -> None:
         [len(SHAPE_PARTS[k]) for k in SHAPE_CLASSES[:num_categories]], np.int32
     )
     scalars: list[dict] = []
-    best_miou, t0 = -1.0, time.time()
-    for epoch in range(args.epoch):
+    best_miou, start_epoch = -1.0, 0
+    if resume_dir is not None:
+        state, meta = restore_checkpoint(output_dir, "model_last", state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        scal_path = output_dir / "all_scalars.json"
+        if scal_path.exists():
+            scalars = json.loads(scal_path.read_text())[:start_epoch]
+        best_meta = output_dir / "model_best.meta.json"
+        if best_meta.exists():
+            best_miou = float(
+                json.loads(best_meta.read_text())
+                .get("best", {})
+                .get("val_part_miou", -1.0)
+            )
+        # fresh-but-deterministic train stream: don't replay the run's first
+        # epochs' batches (the val set above stays the run's original one)
+        rng = np.random.default_rng([args.seed, start_epoch])
+        print(
+            f"resumed at epoch {start_epoch} (step {int(state.step)}, "
+            f"best val part mIoU {best_miou:.4f}); training to epoch {args.epoch}"
+        )
+    t0 = time.time()
+    for epoch in range(start_epoch, args.epoch):
         losses = []
         for it in range(args.train_batches):
             batch = sample_partseg_batch(
@@ -195,7 +242,11 @@ def parse_args(argv=None):
         " the part-label space is their global part-id union)",
     )
     p.add_argument("--batch_size", type=int, default=16)
-    p.add_argument("--epoch", type=int, default=20)
+    p.add_argument(
+        "--epoch", type=int, default=None,
+        help="total epochs (default 20; on --resume defaults to the run's "
+        "saved target, pass a larger value to extend)",
+    )
     p.add_argument("--train_batches", type=int, default=50, help="batches per epoch")
     p.add_argument("--val_batches", type=int, default=8)
     p.add_argument("--npoints", type=int, default=1024)
@@ -210,6 +261,11 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--num_devices", type=int, default=1)
     p.add_argument("--output_root", type=str, default="outputs_partseg")
+    p.add_argument(
+        "--resume", type=str, default=None,
+        help="run dir to continue in place (flags rehydrated from its "
+        "config.json; --epoch may extend the run)",
+    )
     return p.parse_args(argv)
 
 
