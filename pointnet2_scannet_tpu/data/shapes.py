@@ -180,6 +180,13 @@ def part_offsets(num_categories: int) -> np.ndarray:
     return np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
 
 
+def part_sizes(num_categories: int) -> np.ndarray:
+    """Parts per category (first K of SHAPE_CLASSES), int32."""
+    return np.array(
+        [len(SHAPE_PARTS[k]) for k in SHAPE_CLASSES[:num_categories]], np.int32
+    )
+
+
 def num_parts_total(num_categories: int) -> int:
     return sum(len(SHAPE_PARTS[k]) for k in SHAPE_CLASSES[:num_categories])
 

@@ -221,17 +221,19 @@ def instance_part_miou(
     category: np.ndarray,
     offsets: np.ndarray,
     sizes: np.ndarray,
-) -> tuple[float, dict[int, float]]:
+) -> tuple[float, dict[int, list[float]]]:
     """ShapeNet-part-style instance-average mIoU.
 
     preds/labels: (B, N) int GLOBAL part ids; category: (B,) int; the parts
     of category c occupy global ids [offsets[c], offsets[c] + sizes[c]).
     Per shape: IoU of each of ITS category's parts (a part absent from both
     gt and pred counts as IoU 1, the standard convention), averaged over the
-    category's parts. Returns (mean over shapes, per-category mean-of-shape-
-    IoUs). Predictions are the UNRESTRICTED global argmax — a pred outside
-    the shape's part block counts against every part's union via its gt
-    point (slightly stricter than category-masked-argmax protocols).
+    category's parts. Returns (mean over shapes, per-category LIST of
+    per-shape IoUs) — the lists let callers aggregate across batches with
+    per-shape weighting (the ShapeNet definition), not per-batch means.
+    Predictions are the UNRESTRICTED global argmax — a pred outside the
+    shape's part block counts against every part's union via its gt point
+    (slightly stricter than category-masked-argmax protocols).
     """
     preds = np.asarray(preds)
     labels = np.asarray(labels)
@@ -253,7 +255,7 @@ def instance_part_miou(
         shape_ious.append(iou)
         per_cat.setdefault(c, []).append(iou)
     mean = float(np.mean(shape_ious)) if shape_ious else 0.0
-    return mean, {c: float(np.mean(v)) for c, v in per_cat.items()}
+    return mean, per_cat
 
 
 def confusion_to_point_metrics(cm: np.ndarray) -> dict[str, float]:

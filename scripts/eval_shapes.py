@@ -45,6 +45,7 @@ def evaluate(args) -> None:
         SHAPE_PARTS,
         num_parts_total,
         part_offsets,
+        part_sizes,
         sample_cls_batch,
         sample_partseg_batch,
     )
@@ -119,10 +120,7 @@ def evaluate(args) -> None:
         return
 
     offsets = part_offsets(num_cats)
-    sizes = np.array(
-        [len(SHAPE_PARTS[k]) for k in SHAPE_CLASSES[:num_cats]], np.int32
-    )
-    shape_ious: list[float] = []
+    sizes = part_sizes(num_cats)
     per_cat: dict[int, list[float]] = {}
     dumped = 0
     preds_dir = folder / "preds"
@@ -133,28 +131,32 @@ def evaluate(args) -> None:
         out = eval_step(state, batch)
         cm += np.asarray(out["confusion"], np.int64)
         preds = np.asarray(out["preds"])
-        ins, cat_d = instance_part_miou(
+        _, cat_d = instance_part_miou(
             preds, batch["labels"], batch["category"], offsets, sizes
         )
-        shape_ious.append(ins)
         for c, v in cat_d.items():
-            per_cat.setdefault(c, []).append(v)
-        while dumped < args.dump_ply and dumped < batch_size:
-            i = dumped
+            per_cat.setdefault(c, []).extend(v)
+        # dump the first --dump_ply clouds of the eval stream, spilling
+        # across batches (global shapeNNN index, per-batch row index)
+        take = min(max(args.dump_ply - dumped, 0), batch_size)
+        for i in range(take):
             preds_dir.mkdir(exist_ok=True)
             xyz = batch["points"][i, :, :3]
             pal = np.asarray(PALETTE, np.uint8)
+            cat = class_names[int(batch["category"][i])]
             for tagname, ids in (("pred", preds[i]), ("gt", batch["labels"][i])):
-                cat = class_names[int(batch["category"][i])]
                 write_ply_points(
-                    preds_dir / f"shape{i:03d}_{cat}_{tagname}.ply",
+                    preds_dir / f"shape{dumped + i:03d}_{cat}_{tagname}.ply",
                     xyz,
                     pal[ids % len(pal)],
                 )
-            dumped += 1
+        dumped += take
 
     m = confusion_to_point_metrics(cm)
-    ins_miou = float(np.mean(shape_ious))
+    # instance mIoU = mean over ALL shapes (per-shape weighting); category
+    # mIoU = mean over categories of their shapes' means (ShapeNet-part pair)
+    all_ious = [x for v in per_cat.values() for x in v]
+    ins_miou = float(np.mean(all_ious)) if all_ious else 0.0
     cat_means = {c: float(np.mean(v)) for c, v in per_cat.items()}
     cat_miou = float(np.mean(list(cat_means.values())))
     print(

@@ -52,20 +52,35 @@ def train(args) -> None:
 
     resume_dir = pathlib.Path(args.resume) if args.resume else None
     if resume_dir is not None:
-        # every model/data/optimizer flag comes from the run's saved config
-        # (same no-retyped-flags rule as scripts/train.py --resume); only
-        # --epoch may EXTEND the run
+        # model/data/optimizer flags come from the run's saved config (same
+        # no-retyped-flags rule as scripts/train.py --resume); EXECUTION
+        # flags (--num_devices, --verbose) may be overridden at the resume
+        # CLI (e.g. resuming a dp=8 run on a 1-chip host), and --epoch may
+        # EXTEND the run. Fail before mutating anything if the run has no
+        # restorable checkpoint.
+        if not (resume_dir / "model_last.msgpack").exists():
+            raise FileNotFoundError(resume_dir / "model_last.msgpack")
         saved = json.loads((resume_dir / "config.json").read_text())
         epoch_target = (
             int(saved["epoch"]) if args.epoch is None
             else max(args.epoch, int(saved["epoch"]))
         )
+        overrides = {
+            k: v
+            for k, v in (("num_devices", args.num_devices), ("verbose", args.verbose))
+            if v is not None
+        }
         args = argparse.Namespace(
             **{k: v for k, v in saved.items() if k != "shape_classes"}
         )
         args.resume, args.epoch = str(resume_dir), epoch_target
-    elif args.epoch is None:
+        vars(args).update(overrides)
+    if args.epoch is None:
         args.epoch = 20
+    if args.num_devices is None:
+        args.num_devices = 1
+    if args.verbose is None:
+        args.verbose = 0
 
     num_classes = args.classes
     mesh = make_mesh(args.num_devices, batch_size=args.batch_size)
@@ -167,6 +182,9 @@ def train(args) -> None:
         save_checkpoint(
             output_dir, "model_last", state, epoch=epoch, config_json=config_json
         )
+        # written alongside model_last every epoch so a crash-resumed run
+        # keeps its full training history
+        (output_dir / "all_scalars.json").write_text(json.dumps(scalars, indent=2))
         if acc > best_acc:
             best_acc = acc
             save_checkpoint(
@@ -177,7 +195,6 @@ def train(args) -> None:
                 best={"val_acc": acc},
                 config_json=config_json,
             )
-    (output_dir / "all_scalars.json").write_text(json.dumps(scalars, indent=2))
     print(f"best val acc: {best_acc:.4f}")
 
 
@@ -197,7 +214,11 @@ def parse_args(argv=None):
     p.add_argument("--train_batches", type=int, default=50, help="batches per epoch")
     p.add_argument("--val_batches", type=int, default=8)
     p.add_argument("--npoints", type=int, default=1024)
-    p.add_argument("--verbose", type=int, default=0, help="iters between reports")
+    p.add_argument(
+        "--verbose", type=int, default=None,
+        help="iters between reports (default 0; on --resume defaults to the "
+        "run's saved value)",
+    )
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--wd", type=float, default=0.0)
     p.add_argument("--ds", type=int, default=10, help="lr decay step (epochs)")
@@ -206,7 +227,11 @@ def parse_args(argv=None):
     p.add_argument("--use_msg", action="store_true")
     p.add_argument("--no_bn", action="store_true")
     p.add_argument("--bf16", action="store_true")
-    p.add_argument("--num_devices", type=int, default=1)
+    p.add_argument(
+        "--num_devices", type=int, default=None,
+        help="dp mesh size (default 1; on --resume defaults to the run's "
+        "saved value — override to resume on different hardware)",
+    )
     p.add_argument("--output_root", type=str, default="outputs_cls")
     p.add_argument(
         "--resume", type=str, default=None,

@@ -34,9 +34,9 @@ def train(args) -> None:
 
     from pointnet2_scannet_tpu.data.shapes import (
         SHAPE_CLASSES,
-        SHAPE_PARTS,
         num_parts_total,
         part_offsets,
+        part_sizes,
         sample_partseg_batch,
     )
     from pointnet2_scannet_tpu.engine.checkpoint import (
@@ -61,14 +61,24 @@ def train(args) -> None:
 
     resume_dir = pathlib.Path(args.resume) if args.resume else None
     if resume_dir is not None:
-        # every model/data/optimizer flag comes from the run's saved config
-        # (same no-retyped-flags rule as scripts/train.py --resume); only
-        # --epoch may EXTEND the run
+        # model/data/optimizer flags come from the run's saved config (same
+        # no-retyped-flags rule as scripts/train.py --resume); EXECUTION
+        # flags (--num_devices, --verbose) may be overridden at the resume
+        # CLI (e.g. resuming a dp=8 run on a 1-chip host), and --epoch may
+        # EXTEND the run. Fail before mutating anything if the run has no
+        # restorable checkpoint.
+        if not (resume_dir / "model_last.msgpack").exists():
+            raise FileNotFoundError(resume_dir / "model_last.msgpack")
         saved = json.loads((resume_dir / "config.json").read_text())
         epoch_target = (
             int(saved["epoch"]) if args.epoch is None
             else max(args.epoch, int(saved["epoch"]))
         )
+        overrides = {
+            k: v
+            for k, v in (("num_devices", args.num_devices), ("verbose", args.verbose))
+            if v is not None
+        }
         args = argparse.Namespace(
             **{
                 k: v for k, v in saved.items()
@@ -76,8 +86,13 @@ def train(args) -> None:
             }
         )
         args.resume, args.epoch = str(resume_dir), epoch_target
-    elif args.epoch is None:
+        vars(args).update(overrides)
+    if args.epoch is None:
         args.epoch = 20
+    if args.num_devices is None:
+        args.num_devices = 1
+    if args.verbose is None:
+        args.verbose = 0
 
     num_categories = args.categories
     num_parts = num_parts_total(num_categories)
@@ -141,9 +156,7 @@ def train(args) -> None:
     dropout_key = jax.random.key(args.seed + 1)
 
     offsets = part_offsets(num_categories)
-    sizes = np.array(
-        [len(SHAPE_PARTS[k]) for k in SHAPE_CLASSES[:num_categories]], np.int32
-    )
+    sizes = part_sizes(num_categories)
     scalars: list[dict] = []
     best_miou, start_epoch = -1.0, 0
     if resume_dir is not None:
@@ -181,25 +194,23 @@ def train(args) -> None:
                     f"loss {losses[-1]:.4f}"
                 )
         cm = np.zeros((num_parts, num_parts), np.int64)
-        shape_ious, cat_ious = [], []
+        cat_ious: dict[int, list[float]] = {}
         for batch in val_batches:
             out = eval_step(state, batch)
             cm += np.asarray(out["confusion"], np.int64)
-            ins, per_cat = instance_part_miou(
+            _, per_cat = instance_part_miou(
                 np.asarray(out["preds"]), batch["labels"], batch["category"],
                 offsets, sizes,
             )
-            shape_ious.append(ins)
-            cat_ious.append(per_cat)
+            for c, v in per_cat.items():
+                cat_ious.setdefault(c, []).extend(v)
         m = confusion_to_point_metrics(cm)
-        # instance-average (mean over shapes) and category-average (mean over
-        # categories of their shapes' means) mIoU — the ShapeNet-part metrics
-        ins_miou = float(np.mean(shape_ious))
-        merged: dict[int, list[float]] = {}
-        for d in cat_ious:
-            for c, v in d.items():
-                merged.setdefault(c, []).append(v)
-        cat_miou = float(np.mean([np.mean(v) for v in merged.values()]))
+        # instance-average (mean over ALL shapes, per-shape weighting) and
+        # category-average (mean over categories of their shapes' means)
+        # mIoU — the ShapeNet-part metric pair
+        all_ious = [x for v in cat_ious.values() for x in v]
+        ins_miou = float(np.mean(all_ious)) if all_ious else 0.0
+        cat_miou = float(np.mean([np.mean(v) for v in cat_ious.values()]))
         scalars.append(
             {
                 "epoch": epoch + 1,
@@ -219,6 +230,9 @@ def train(args) -> None:
         save_checkpoint(
             output_dir, "model_last", state, epoch=epoch, config_json=config_json
         )
+        # written alongside model_last every epoch so a crash-resumed run
+        # keeps its full training history
+        (output_dir / "all_scalars.json").write_text(json.dumps(scalars, indent=2))
         if m["point_miou"] > best_miou:
             best_miou = m["point_miou"]
             save_checkpoint(
@@ -229,7 +243,6 @@ def train(args) -> None:
                 best={"val_part_miou": m["point_miou"]},
                 config_json=config_json,
             )
-    (output_dir / "all_scalars.json").write_text(json.dumps(scalars, indent=2))
     print(f"best val part mIoU: {best_miou:.4f}")
 
 
@@ -250,7 +263,11 @@ def parse_args(argv=None):
     p.add_argument("--train_batches", type=int, default=50, help="batches per epoch")
     p.add_argument("--val_batches", type=int, default=8)
     p.add_argument("--npoints", type=int, default=1024)
-    p.add_argument("--verbose", type=int, default=0, help="iters between reports")
+    p.add_argument(
+        "--verbose", type=int, default=None,
+        help="iters between reports (default 0; on --resume defaults to the "
+        "run's saved value)",
+    )
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--wd", type=float, default=0.0)
     p.add_argument("--ds", type=int, default=10, help="lr decay step (epochs)")
@@ -259,7 +276,11 @@ def parse_args(argv=None):
     p.add_argument("--use_msg", action="store_true")
     p.add_argument("--no_bn", action="store_true")
     p.add_argument("--bf16", action="store_true")
-    p.add_argument("--num_devices", type=int, default=1)
+    p.add_argument(
+        "--num_devices", type=int, default=None,
+        help="dp mesh size (default 1; on --resume defaults to the run's "
+        "saved value — override to resume on different hardware)",
+    )
     p.add_argument("--output_root", type=str, default="outputs_partseg")
     p.add_argument(
         "--resume", type=str, default=None,

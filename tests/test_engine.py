@@ -115,8 +115,10 @@ class TestConfusion:
         iou_shape0 = (0.5 + 2 / 3) / 2
         iou_shape1 = (1.0 + 0.5 + 1.0) / 3
         np.testing.assert_allclose(ins, (iou_shape0 + iou_shape1) / 2)
-        np.testing.assert_allclose(per_cat[0], iou_shape0)
-        np.testing.assert_allclose(per_cat[1], iou_shape1)
+        # per-category PER-SHAPE lists (callers aggregate across batches
+        # with per-shape weighting)
+        np.testing.assert_allclose(per_cat[0], [iou_shape0])
+        np.testing.assert_allclose(per_cat[1], [iou_shape1])
         # an out-of-block pred (the 0 in shape 1) must not crash and only
         # hurts via its gt part's union — already reflected in part3's 0.5
 
