@@ -158,7 +158,7 @@ def evaluate(args) -> None:
     all_ious = [x for v in per_cat.values() for x in v]
     ins_miou = float(np.mean(all_ious)) if all_ious else 0.0
     cat_means = {c: float(np.mean(v)) for c, v in per_cat.items()}
-    cat_miou = float(np.mean(list(cat_means.values())))
+    cat_miou = float(np.mean(list(cat_means.values()))) if cat_means else 0.0
     print(
         f"\npoint acc: {m['point_acc']:.4f}   part mIoU (confusion): "
         f"{m['point_miou']:.4f}\ninstance-avg mIoU: {ins_miou:.4f}   "

@@ -210,7 +210,10 @@ def train(args) -> None:
         # mIoU — the ShapeNet-part metric pair
         all_ious = [x for v in cat_ious.values() for x in v]
         ins_miou = float(np.mean(all_ious)) if all_ious else 0.0
-        cat_miou = float(np.mean([np.mean(v) for v in cat_ious.values()]))
+        cat_miou = (
+            float(np.mean([np.mean(v) for v in cat_ious.values()]))
+            if cat_ious else 0.0
+        )
         scalars.append(
             {
                 "epoch": epoch + 1,
