@@ -11,6 +11,13 @@ from pointnet2_scannet_tpu.engine.metrics import (
 )
 from pointnet2_scannet_tpu.engine.train_state import TrainState, create_train_state
 from pointnet2_scannet_tpu.engine.solver import Solver
+from pointnet2_scannet_tpu.engine.export import (
+    ServingPredictor,
+    export_forward,
+    export_run,
+    load_exported,
+    save_exported,
+)
 
 __all__ = [
     "weighted_cross_entropy",
@@ -23,4 +30,9 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "Solver",
+    "ServingPredictor",
+    "export_forward",
+    "export_run",
+    "load_exported",
+    "save_exported",
 ]

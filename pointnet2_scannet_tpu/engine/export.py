@@ -1,0 +1,169 @@
+"""AOT model export for serving (jax.export / StableHLO).
+
+The reference has no deployment story beyond cloning the repo and rebuilding
+its CUDA extensions — its closest inference entrypoint is the evaluation
+script (reference scripts/eval.py:174-221), which needs the full torch stack
+and the model source. On TPU the idiomatic production path is ahead-of-time
+export: the jitted eval-mode forward — checkpoint parameters baked in as
+StableHLO constants — is lowered once into a single self-contained artifact
+that a serving process can deserialize and execute with stock jax. No model
+code, no checkpoint plumbing, no framework import; the artifact carries its
+own input/output contract and the platform(s) it was lowered for.
+
+Artifact contract (fixed shapes — TPU serving wants one compiled program,
+not a shape family):
+  input   (batch, npoints, channels) float32 point columns
+  output  emit="labels": (batch, npoints) int8 (int32 if num_classes > 127)
+          emit="logits": (batch, npoints, num_classes) model-dtype logits
+
+`ServingPredictor` wraps either a live Exported or a deserialized artifact
+and handles ragged column counts by batch-padding, so callers feed any
+(S, npoints, channels) stack. Produced/consumed by scripts/infer.py.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from pointnet2_scannet_tpu.config import NUM_CLASSES
+
+
+def build_forward(apply_fn, variables, *, emit: str = "labels",
+                  num_classes: int = NUM_CLASSES):
+    """Eval-mode forward with params closed over (they export as constants).
+
+    emit="labels" argmaxes on device and returns the narrowest integer dtype
+    that holds a class id — the same 80x device->host transfer cut the
+    evaluator uses (engine/evaluator.py); emit="logits" returns raw logits
+    for callers that need calibration/ensembling.
+    """
+    if emit not in ("labels", "logits"):
+        raise ValueError(f"emit must be 'labels' or 'logits', got {emit!r}")
+    pred_dtype = jnp.int8 if num_classes <= 127 else jnp.int32
+
+    def fwd(points):
+        logits = apply_fn(variables, points, train=False)
+        if emit == "labels":
+            return jnp.argmax(logits, axis=-1).astype(pred_dtype)
+        return logits
+
+    return fwd
+
+
+def export_forward(
+    apply_fn,
+    variables,
+    *,
+    batch_size: int,
+    npoints: int,
+    channels: int,
+    emit: str = "labels",
+    num_classes: int = NUM_CLASSES,
+    platforms: list[str] | None = None,
+) -> jax_export.Exported:
+    """Lower the eval forward to a jax.export.Exported.
+
+    platforms: lowering targets (e.g. ["tpu"], ["cpu", "tpu"]); None uses
+    the current default backend. Multi-platform artifacts are larger but
+    run anywhere listed.
+    """
+    fwd = build_forward(apply_fn, variables, emit=emit, num_classes=num_classes)
+    spec = jax.ShapeDtypeStruct((batch_size, npoints, channels), jnp.float32)
+    return jax_export.export(jax.jit(fwd), platforms=platforms)(spec)
+
+
+def save_exported(exported: jax_export.Exported, path: str | pathlib.Path) -> pathlib.Path:
+    path = pathlib.Path(path)
+    path.write_bytes(exported.serialize())
+    return path
+
+
+def load_exported(path: str | pathlib.Path) -> jax_export.Exported:
+    return jax_export.deserialize(bytearray(pathlib.Path(path).read_bytes()))
+
+
+def export_run(
+    run_dir: str | pathlib.Path,
+    *,
+    checkpoint: str = "model_best",
+    batch_size: int = 32,
+    npoints: int | None = None,
+    emit: str = "labels",
+    platforms: list[str] | None = None,
+) -> jax_export.Exported:
+    """Export a trained run directory (config.json + <checkpoint>.msgpack).
+
+    Model hyperparameters and input channels come from the run's serialized
+    RunConfig, so the artifact can never drift from what was trained — the
+    same no-drift rule the eval CLI enforces (scripts/eval.py).
+    """
+    from pointnet2_scannet_tpu import models
+    from pointnet2_scannet_tpu.config import RunConfig
+    from pointnet2_scannet_tpu.engine.checkpoint import restore_params_only
+
+    run_dir = pathlib.Path(run_dir)
+    cfg = RunConfig.load(run_dir / "config.json")
+    model = models.get_model(
+        num_classes=cfg.model.num_classes,
+        is_msg=cfg.model.is_msg,
+        input_channels=cfg.data.input_channels,
+        use_xyz=cfg.model.use_xyz,
+        bn=cfg.model.bn,
+        dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None,
+    )
+    variables = restore_params_only(run_dir, checkpoint)
+    return export_forward(
+        model.apply,
+        variables,
+        batch_size=batch_size,
+        npoints=npoints if npoints is not None else cfg.data.npoints,
+        channels=3 + cfg.data.input_channels,
+        emit=emit,
+        num_classes=cfg.model.num_classes,
+        platforms=platforms,
+    )
+
+
+class ServingPredictor:
+    """Run a (possibly deserialized) exported forward over ragged column stacks.
+
+    The artifact is a fixed-(B, N, C) program; predict() pads an arbitrary
+    (S, N, C) stack to a multiple of B with repeats of the last column and
+    trims the outputs back, so whole-scene tilings of any width serve
+    through the one compiled program.
+    """
+
+    def __init__(self, exported: jax_export.Exported):
+        self.exported = exported
+        aval = exported.in_avals[0]
+        self.batch_size, self.npoints, self.channels = map(int, aval.shape)
+        # jit(call) executes the embedded StableHLO natively (no re-trace of
+        # model code — there is none here).
+        self._call = jax.jit(exported.call)
+
+    @classmethod
+    def from_artifact(cls, path: str | pathlib.Path) -> "ServingPredictor":
+        return cls(load_exported(path))
+
+    def predict(self, columns: np.ndarray) -> np.ndarray:
+        """(S, npoints, channels) float32 -> stacked outputs with leading S."""
+        columns = np.asarray(columns, np.float32)
+        if columns.ndim != 3 or columns.shape[1:] != (self.npoints, self.channels):
+            raise ValueError(
+                f"expected (S, {self.npoints}, {self.channels}), got {columns.shape}"
+            )
+        s = columns.shape[0]
+        b = self.batch_size
+        pad = (-s) % b
+        if pad:
+            columns = np.concatenate([columns, np.repeat(columns[-1:], pad, 0)])
+        outs = [
+            np.asarray(self._call(columns[i : i + b]))
+            for i in range(0, len(columns), b)
+        ]
+        return np.concatenate(outs)[:s]

@@ -1,0 +1,170 @@
+"""Inference / serving CLI.
+
+The reference has no inference entrypoint for unlabeled scenes — its eval
+and visualize scripts (reference scripts/eval.py:174-221,
+scripts/visualize.py:75-140) both require ground-truth labels in the scene
+files. This CLI closes that gap and carries the TPU serving path:
+
+  # export a self-contained AOT artifact (StableHLO, params baked in)
+  python scripts/infer.py --folder runs/X --export model.jexp [--platforms tpu]
+
+  # run scene inference — from the run dir (exports in-process) or from a
+  # previously exported artifact (no model code touched at all)
+  python scripts/infer.py --folder runs/X --data_dir D --scene_list L
+  python scripts/infer.py --folder runs/X --from_artifact model.jexp --synthetic
+
+Scene .npy files may be the preprocessed (N, 11) layout or unlabeled
+(N, 10) — a zero label column is padded on (labels are never read, the
+column only satisfies the shared tiling layout). Per scene it writes
+<out>/<sid>_pred.npy with (M, 4) [x y z label] rows over the deduplicated
+evaluated points (the same representative-point convention as eval), plus
+an optional palette PLY with --write_ply.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def _load_store(args, cfg):
+    from pointnet2_scannet_tpu.data.scene_store import SceneStore
+    from pointnet2_scannet_tpu.data.synthetic import make_synthetic_store
+
+    if args.synthetic:
+        return make_synthetic_store(args.synthetic_scenes, seed=1000)
+    scene_ids = [l.strip() for l in open(args.scene_list or cfg.paths.val_list) if l.strip()]
+    root = pathlib.Path(args.data_dir or cfg.paths.preprocessed_dir)
+    scenes = {}
+    for sid in scene_ids:
+        arr = np.load(root / f"{sid}.npy")
+        if arr.shape[1] == 10:  # unlabeled: pad the layout's label column
+            arr = np.concatenate([arr, np.zeros((len(arr), 1), arr.dtype)], axis=1)
+        scenes[sid] = arr
+    multiview = None
+    if cfg.data.use_multiview:
+        import h5py
+
+        with h5py.File(args.multiview_h5 or cfg.paths.multiview_h5, "r") as f:
+            multiview = {sid: f[sid][()] for sid in scene_ids}
+    return SceneStore(scene_ids, scenes, multiview, is_weighting=False)
+
+
+def infer(args) -> None:
+    from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from pointnet2_scannet_tpu.config import PALETTE, RunConfig
+    from pointnet2_scannet_tpu.engine.export import (
+        ServingPredictor,
+        export_run,
+        save_exported,
+    )
+
+    run_dir = pathlib.Path(args.folder)
+    cfg = RunConfig.load(run_dir / "config.json")
+
+    if args.export:
+        exported = export_run(
+            run_dir,
+            checkpoint=args.checkpoint,
+            batch_size=args.batch_size,
+            npoints=args.npoints,
+            emit=args.emit,
+            platforms=args.platforms,
+        )
+        path = save_exported(exported, args.export)
+        aval = exported.in_avals[0]
+        print(
+            f"exported {args.checkpoint} -> {path} "
+            f"({path.stat().st_size / 1e6:.1f} MB, input {tuple(aval.shape)}, "
+            f"emit={args.emit}, platforms={list(exported.platforms)})"
+        )
+        return
+
+    if args.from_artifact:
+        predictor = ServingPredictor.from_artifact(args.from_artifact)
+    else:
+        predictor = ServingPredictor(
+            export_run(
+                run_dir,
+                checkpoint=args.checkpoint,
+                batch_size=args.batch_size,
+                npoints=args.npoints,
+            )
+        )
+    if predictor.channels != 3 + cfg.data.input_channels:
+        raise SystemExit(
+            f"artifact expects {predictor.channels} channels but the run's "
+            f"feature layout is {3 + cfg.data.input_channels} "
+            "(check use_color/use_normal/use_multiview)"
+        )
+
+    from pointnet2_scannet_tpu.data import WholeSceneDataset
+    from pointnet2_scannet_tpu.engine.metrics import filter_points
+
+    store = _load_store(args, cfg)
+    data_cfg = cfg.data
+    if predictor.npoints != data_cfg.npoints:
+        import dataclasses
+
+        data_cfg = dataclasses.replace(data_cfg, npoints=predictor.npoints)
+    dataset = WholeSceneDataset(store, data_cfg, seed=0)
+
+    out_dir = pathlib.Path(args.out or (run_dir / "infer"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    palette = np.asarray(PALETTE, np.uint8)
+    for scene_id, (feats, labels, weights) in dataset.iter_scenes():
+        preds = predictor.predict(feats)
+        if preds.ndim == 3:  # logits artifact: reduce to labels here
+            preds = np.argmax(preds, axis=-1)
+        coords = feats[..., :3].reshape(-1, 3)
+        flat = preds.reshape(-1).astype(np.int32)
+        coords_u, preds_u, _, _ = filter_points(
+            coords, flat, labels.reshape(-1), weights.reshape(-1)
+        )
+        np.save(
+            out_dir / f"{scene_id}_pred.npy",
+            np.concatenate([coords_u, preds_u[:, None].astype(np.float32)], axis=1),
+        )
+        if args.write_ply:
+            from pointnet2_scannet_tpu.utils.ply import write_ply_points
+
+            colors = palette[np.clip(preds_u, 0, len(palette) - 1)]
+            write_ply_points(out_dir / f"{scene_id}_pred.ply", coords_u, colors)
+        print(f"{scene_id}: {len(coords_u)} points -> {out_dir / f'{scene_id}_pred.npy'}")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--folder", type=str, required=True, help="run output dir")
+    p.add_argument("--checkpoint", type=str, default="model_best")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--npoints", type=int, default=None,
+                   help="column size for the exported program "
+                   "(default: the run's training npoints)")
+    p.add_argument("--export", type=str, default=None,
+                   help="write the AOT serving artifact here and exit")
+    p.add_argument("--emit", choices=("labels", "logits"), default="labels")
+    p.add_argument("--platforms", nargs="+", default=None,
+                   help="lowering targets for --export (e.g. tpu, or 'cpu tpu')")
+    p.add_argument("--from_artifact", type=str, default=None,
+                   help="serve from a saved artifact instead of re-exporting")
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--scene_list", type=str, default=None)
+    p.add_argument("--multiview_h5", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_scenes", type=int, default=1)
+    p.add_argument("--out", type=str, default=None,
+                   help="prediction output dir (default <folder>/infer)")
+    p.add_argument("--write_ply", action="store_true")
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    infer(parse_args())

@@ -1,0 +1,216 @@
+"""AOT export / serving tests (engine/export.py + scripts/infer.py).
+
+The reference has no deployment path at all — inference requires the full
+torch stack, the model source, and rebuilt CUDA extensions (reference
+scripts/eval.py:174-221). These tests pin the TPU-native answer: the jitted
+eval forward lowered to a self-contained StableHLO artifact that reproduces
+the live model bit-for-bit after a serialize/deserialize roundtrip, plus the
+unlabeled-scene inference CLI built on it.
+"""
+
+from __future__ import annotations
+
+import functools
+import pathlib
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from pointnet2_scannet_tpu import models
+from pointnet2_scannet_tpu.config import (
+    DataConfig,
+    ModelConfig,
+    RunConfig,
+    TrainConfig,
+)
+from pointnet2_scannet_tpu.engine.checkpoint import save_checkpoint
+from pointnet2_scannet_tpu.engine.export import (
+    ServingPredictor,
+    export_forward,
+    export_run,
+    load_exported,
+    save_exported,
+)
+from pointnet2_scannet_tpu.engine.train_state import create_train_state
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+N = 512  # tiny columns: the export contract is shape-agnostic
+
+
+@functools.cache
+def tiny_model():
+    """Init a small SSG model once (xyz-only input) for the export tests."""
+    model = models.get_model(num_classes=20, is_msg=False, input_channels=0)
+    pc = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1.5, (1, N, 3)).astype(np.float32)
+    )
+    variables = jax.jit(lambda: model.init(jax.random.key(0), pc, train=False))()
+
+    @jax.jit
+    def fwd(pc):
+        return model.apply(variables, pc, train=False)
+
+    return model, variables, fwd
+
+
+def make_points(s, channels=3, seed=1):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0, 1.5, (s, N, channels)).astype(np.float32)
+
+
+class TestExportForward:
+    def test_labels_match_live_apply_and_are_int8(self):
+        model, variables, fwd = tiny_model()
+        exported = export_forward(
+            model.apply, variables, batch_size=2, npoints=N, channels=3
+        )
+        x = make_points(2)
+        got = np.asarray(jax.jit(exported.call)(x))
+        want = np.argmax(np.asarray(fwd(x)), axis=-1)
+        assert got.dtype == np.int8  # 20 classes fit the narrow transfer dtype
+        np.testing.assert_array_equal(got, want)
+
+    def test_logits_match_live_apply(self):
+        model, variables, fwd = tiny_model()
+        exported = export_forward(
+            model.apply, variables, batch_size=2, npoints=N, channels=3,
+            emit="logits",
+        )
+        x = make_points(2, seed=2)
+        got = np.asarray(jax.jit(exported.call)(x))
+        np.testing.assert_allclose(got, np.asarray(fwd(x)), rtol=1e-6, atol=1e-6)
+
+    def test_emit_validated(self):
+        model, variables, _ = tiny_model()
+        with pytest.raises(ValueError, match="emit"):
+            export_forward(
+                model.apply, variables, batch_size=1, npoints=N, channels=3,
+                emit="probs",
+            )
+
+    def test_serialize_roundtrip_and_ragged_padding(self, tmp_path):
+        """Deserialized artifact == live model; predictor pads S=5 onto B=2."""
+        model, variables, fwd = tiny_model()
+        exported = export_forward(
+            model.apply, variables, batch_size=2, npoints=N, channels=3
+        )
+        path = save_exported(exported, tmp_path / "m.jexp")
+        assert path.stat().st_size > 0
+        predictor = ServingPredictor.from_artifact(path)
+        assert (predictor.batch_size, predictor.npoints, predictor.channels) == (
+            2, N, 3,
+        )
+        x = make_points(5, seed=3)  # ragged: 2 full batches + 1 padded
+        got = predictor.predict(x)
+        want = np.argmax(np.asarray(fwd(x[:, :, :3])), axis=-1)
+        assert got.shape == (5, N)
+        np.testing.assert_array_equal(got, want)
+        # shape contract is enforced, not silently re-padded
+        with pytest.raises(ValueError, match="expected"):
+            predictor.predict(make_points(2, channels=4))
+
+    def test_load_exported_roundtrip_platforms(self, tmp_path):
+        model, variables, _ = tiny_model()
+        exported = export_forward(
+            model.apply, variables, batch_size=1, npoints=N, channels=3
+        )
+        save_exported(exported, tmp_path / "m.jexp")
+        assert load_exported(tmp_path / "m.jexp").platforms == exported.platforms
+
+
+def make_run_dir(tmp_path) -> tuple[pathlib.Path, RunConfig]:
+    """A minimal trained-run directory: config.json + model_best.msgpack."""
+    cfg = RunConfig(
+        tag="export-test",
+        data=DataConfig(npoints=N, use_color=True, use_normal=True),
+        model=ModelConfig(is_msg=False),
+        train=TrainConfig(batch_size=2, epochs=1),
+    )
+    model = models.get_model(
+        num_classes=cfg.model.num_classes,
+        is_msg=cfg.model.is_msg,
+        input_channels=cfg.data.input_channels,
+    )
+    sample = jnp.zeros((1, N, 3 + cfg.data.input_channels), jnp.float32)
+    state = jax.jit(
+        lambda: create_train_state(
+            model, jax.random.key(0), sample, optax.adam(1e-3)
+        )
+    )()
+    save_checkpoint(
+        tmp_path, "model_best", state, epoch=0, config_json=cfg.to_json()
+    )
+    return tmp_path, cfg
+
+
+class TestExportRun:
+    def test_export_run_matches_checkpointed_model(self, tmp_path):
+        run_dir, cfg = make_run_dir(tmp_path)
+        exported = export_run(run_dir, batch_size=2)
+        c = 3 + cfg.data.input_channels
+        assert tuple(map(int, exported.in_avals[0].shape)) == (2, N, c)
+
+        from pointnet2_scannet_tpu.engine.checkpoint import restore_params_only
+
+        model = models.get_model(
+            num_classes=cfg.model.num_classes,
+            is_msg=cfg.model.is_msg,
+            input_channels=cfg.data.input_channels,
+        )
+        variables = restore_params_only(run_dir, "model_best")
+        x = make_points(2, channels=c, seed=4)
+        want = np.argmax(
+            np.asarray(jax.jit(lambda: model.apply(variables, x, train=False))()),
+            axis=-1,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jax.jit(exported.call)(x)), want
+        )
+
+
+@pytest.mark.slow
+def test_infer_cli_synthetic_and_artifact_roundtrip(tmp_path):
+    """Drive scripts/infer.py as a subprocess: export an artifact, then run
+    unlabeled-scene inference from it (the no-model-code serving path)."""
+    run_dir, cfg = make_run_dir(tmp_path)
+
+    def run_cli(args, timeout=900):
+        boot = (
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            f"import runpy, sys; sys.argv = ['scripts/infer.py'] + {args!r}; "
+            f"runpy.run_path({str(REPO / 'scripts/infer.py')!r}, "
+            "run_name='__main__')"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", boot],
+            cwd=REPO, capture_output=True, text=True, timeout=timeout,
+        )
+        assert proc.returncode == 0, (
+            f"infer.py {args} failed:\nSTDOUT:\n{proc.stdout[-4000:]}\n"
+            f"STDERR:\n{proc.stderr[-4000:]}"
+        )
+        return proc.stdout
+
+    artifact = tmp_path / "model.jexp"
+    out = run_cli(
+        ["--folder", str(run_dir), "--export", str(artifact), "--batch_size", "2"]
+    )
+    assert "exported model_best" in out and artifact.exists()
+
+    out = run_cli(
+        ["--folder", str(run_dir), "--from_artifact", str(artifact),
+         "--synthetic", "--synthetic_scenes", "1", "--write_ply",
+         "--out", str(tmp_path / "preds")]
+    )
+    preds = sorted((tmp_path / "preds").glob("*_pred.npy"))
+    assert len(preds) == 1
+    arr = np.load(preds[0])
+    assert arr.ndim == 2 and arr.shape[1] == 4 and len(arr) > 0
+    labels = arr[:, 3]
+    assert labels.min() >= 0 and labels.max() < cfg.model.num_classes
+    assert (tmp_path / "preds" / preds[0].name.replace("_pred.npy", "_pred.ply")).exists()
