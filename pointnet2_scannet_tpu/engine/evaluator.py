@@ -127,7 +127,9 @@ class WholeSceneEvaluator:
         # device->host transfer 80x (the tunnel link is the eval bottleneck)
         import jax.numpy as jnp
 
-        self._pred_dtype = jnp.int8 if num_classes <= 127 else jnp.int32
+        from pointnet2_scannet_tpu.engine.metrics import pred_transfer_dtype
+
+        self._pred_dtype = pred_transfer_dtype(num_classes)
         pred_dtype = self._pred_dtype
 
         def fwd(variables, points):

@@ -31,6 +31,7 @@ import numpy as np
 from jax import export as jax_export
 
 from pointnet2_scannet_tpu.config import NUM_CLASSES
+from pointnet2_scannet_tpu.engine.metrics import pred_transfer_dtype
 
 
 def build_forward(apply_fn, variables, *, emit: str = "labels",
@@ -44,7 +45,7 @@ def build_forward(apply_fn, variables, *, emit: str = "labels",
     """
     if emit not in ("labels", "logits"):
         raise ValueError(f"emit must be 'labels' or 'logits', got {emit!r}")
-    pred_dtype = jnp.int8 if num_classes <= 127 else jnp.int32
+    pred_dtype = pred_transfer_dtype(num_classes)
 
     def fwd(points):
         logits = apply_fn(variables, points, train=False)
@@ -158,6 +159,9 @@ class ServingPredictor:
                 f"expected (S, {self.npoints}, {self.channels}), got {columns.shape}"
             )
         s = columns.shape[0]
+        if s == 0:
+            out = self.exported.out_avals[0]
+            return np.zeros((0, *out.shape[1:]), out.dtype)
         b = self.batch_size
         pad = (-s) % b
         if pad:

@@ -32,6 +32,16 @@ from pointnet2_scannet_tpu.config import NUM_CLASSES
 from pointnet2_scannet_tpu.utils.voxel import surface_voxel_labels
 
 
+def pred_transfer_dtype(num_classes: int):
+    """Narrowest integer dtype that holds a class id.
+
+    Shared by the evaluator and the AOT export path so the device->host
+    transfer contract (argmax carried home at int8 when it fits) can never
+    diverge between live eval and serving artifacts.
+    """
+    return jnp.int8 if num_classes <= 127 else jnp.int32
+
+
 # ------------------------------ host tier ---------------------------------
 
 

@@ -13,9 +13,11 @@ files. This CLI closes that gap and carries the TPU serving path:
   python scripts/infer.py --folder runs/X --data_dir D --scene_list L
   python scripts/infer.py --folder runs/X --from_artifact model.jexp --synthetic
 
-Scene .npy files may be the preprocessed (N, 11) layout or unlabeled
-(N, 10) — a zero label column is padded on (labels are never read, the
-column only satisfies the shared tiling layout). Per scene it writes
+Scene .npy files may be the preprocessed (N, 11) layout or a shorter
+unlabeled prefix of it — e.g. (N, 9) [xyz rgb normal] or (N, 10) — and the
+missing trailing columns are zero-padded on (labels are never read, the
+columns only satisfy the shared tiling layout); a cloud missing feature
+columns the run's config reads is rejected with a layout message. Per scene it writes
 <out>/<sid>_pred.npy with (M, 4) [x y z label] rows over the deduplicated
 evaluated points (the same representative-point convention as eval), plus
 an optional palette PLY with --write_ply.
@@ -38,21 +40,32 @@ def _load_store(args, cfg):
 
     if args.synthetic:
         return make_synthetic_store(args.synthetic_scenes, seed=1000)
-    scene_ids = [l.strip() for l in open(args.scene_list or cfg.paths.val_list) if l.strip()]
-    root = pathlib.Path(args.data_dir or cfg.paths.preprocessed_dir)
-    scenes = {}
-    for sid in scene_ids:
-        arr = np.load(root / f"{sid}.npy")
-        if arr.shape[1] == 10:  # unlabeled: pad the layout's label column
-            arr = np.concatenate([arr, np.zeros((len(arr), 1), arr.dtype)], axis=1)
-        scenes[sid] = arr
-    multiview = None
-    if cfg.data.use_multiview:
-        import h5py
-
-        with h5py.File(args.multiview_h5 or cfg.paths.multiview_h5, "r") as f:
-            multiview = {sid: f[sid][()] for sid in scene_ids}
-    return SceneStore(scene_ids, scenes, multiview, is_weighting=False)
+    list_path = pathlib.Path(args.scene_list or cfg.paths.val_list)
+    scene_ids = [l.strip() for l in list_path.read_text().splitlines() if l.strip()]
+    store = SceneStore.from_npy_dir(
+        scene_ids,
+        args.data_dir or cfg.paths.preprocessed_dir,
+        multiview_h5=(args.multiview_h5 or cfg.paths.multiview_h5)
+        if cfg.data.use_multiview
+        else None,
+        is_weighting=False,
+    )
+    # Unlabeled clouds may stop after the feature columns the run actually
+    # uses — pad missing trailing columns (normals/instance/label are zeros)
+    # up to the shared (N, 11) tiling layout, but fail loudly if the columns
+    # the run's feature config reads are absent.
+    required = 9 if cfg.data.use_normal else (6 if cfg.data.use_color else 3)
+    for sid, arr in store.scenes.items():
+        if arr.ndim != 2 or arr.shape[1] < required:
+            raise SystemExit(
+                f"{sid}.npy has shape {arr.shape}; this run reads the first "
+                f"{required} columns of the [xyz rgb normal instance label] "
+                "layout (N, 11) — re-export the scene with those columns"
+            )
+        if arr.shape[1] < 11:
+            pad = np.zeros((len(arr), 11 - arr.shape[1]), arr.dtype)
+            store.scenes[sid] = np.concatenate([arr, pad], axis=1)
+    return store
 
 
 def infer(args) -> None:
@@ -67,13 +80,13 @@ def infer(args) -> None:
     )
 
     run_dir = pathlib.Path(args.folder)
-    cfg = RunConfig.load(run_dir / "config.json")
+    batch_size = args.batch_size if args.batch_size is not None else 32
 
     if args.export:
         exported = export_run(
             run_dir,
             checkpoint=args.checkpoint,
-            batch_size=args.batch_size,
+            batch_size=batch_size,
             npoints=args.npoints,
             emit=args.emit,
             platforms=args.platforms,
@@ -87,15 +100,23 @@ def infer(args) -> None:
         )
         return
 
+    cfg = RunConfig.load(run_dir / "config.json")
     if args.from_artifact:
+        if args.batch_size is not None or args.npoints is not None or args.emit != "labels":
+            print(
+                "note: --batch_size/--npoints/--emit are baked into the "
+                "artifact at export time; the values saved in "
+                f"{args.from_artifact} are used"
+            )
         predictor = ServingPredictor.from_artifact(args.from_artifact)
     else:
         predictor = ServingPredictor(
             export_run(
                 run_dir,
                 checkpoint=args.checkpoint,
-                batch_size=args.batch_size,
+                batch_size=batch_size,
                 npoints=args.npoints,
+                emit=args.emit,
             )
         )
     if predictor.channels != 3 + cfg.data.input_channels:
@@ -144,7 +165,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--folder", type=str, required=True, help="run output dir")
     p.add_argument("--checkpoint", type=str, default="model_best")
-    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="columns per compiled program invocation (default 32)")
     p.add_argument("--npoints", type=int, default=None,
                    help="column size for the exported program "
                    "(default: the run's training npoints)")
@@ -152,7 +174,8 @@ def parse_args(argv=None):
                    help="write the AOT serving artifact here and exit")
     p.add_argument("--emit", choices=("labels", "logits"), default="labels")
     p.add_argument("--platforms", nargs="+", default=None,
-                   help="lowering targets for --export (e.g. tpu, or 'cpu tpu')")
+                   help="lowering targets for --export "
+                   "(e.g. --platforms tpu, or --platforms cpu tpu)")
     p.add_argument("--from_artifact", type=str, default=None,
                    help="serve from a saved artifact instead of re-exporting")
     p.add_argument("--data_dir", type=str, default=None)

@@ -114,6 +114,20 @@ class TestExportForward:
         with pytest.raises(ValueError, match="expected"):
             predictor.predict(make_points(2, channels=4))
 
+    def test_empty_stack_returns_empty_contract_shape(self):
+        """S=0 input short-circuits to an empty array of the output contract
+        (no np.concatenate([]) crash), for both emit modes."""
+        model, variables, _ = tiny_model()
+        labels = ServingPredictor(export_forward(
+            model.apply, variables, batch_size=2, npoints=N, channels=3
+        )).predict(np.zeros((0, N, 3), np.float32))
+        assert labels.shape == (0, N) and labels.dtype == np.int8
+        logits = ServingPredictor(export_forward(
+            model.apply, variables, batch_size=2, npoints=N, channels=3,
+            emit="logits",
+        )).predict(np.zeros((0, N, 3), np.float32))
+        assert logits.shape == (0, N, 20)
+
     def test_load_exported_roundtrip_platforms(self, tmp_path):
         model, variables, _ = tiny_model()
         exported = export_forward(
@@ -171,6 +185,49 @@ class TestExportRun:
         np.testing.assert_array_equal(
             np.asarray(jax.jit(exported.call)(x)), want
         )
+
+
+class TestLoadStoreWidths:
+    """_load_store pads unlabeled clouds missing trailing layout columns and
+    rejects clouds missing columns the run's feature config reads."""
+
+    @staticmethod
+    def _infer_module():
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "infer_cli", REPO / "scripts" / "infer.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def _args(self, tmp_path, sid="scene0"):
+        import argparse
+
+        (tmp_path / "list.txt").write_text(f"{sid}\n")
+        return argparse.Namespace(
+            synthetic=False, synthetic_scenes=1,
+            scene_list=str(tmp_path / "list.txt"), data_dir=str(tmp_path),
+            multiview_h5=None,
+        )
+
+    def test_pads_nine_column_cloud(self, tmp_path):
+        mod = self._infer_module()
+        cfg = RunConfig(data=DataConfig(use_color=True, use_normal=True))
+        np.save(tmp_path / "scene0.npy", np.ones((7, 9), np.float32))
+        store = mod._load_store(self._args(tmp_path), cfg)
+        arr = store.scenes["scene0"]
+        assert arr.shape == (7, 11)
+        np.testing.assert_array_equal(arr[:, 9:], 0)  # padded instance+label
+        np.testing.assert_array_equal(arr[:, :9], 1)
+
+    def test_rejects_missing_feature_columns(self, tmp_path):
+        mod = self._infer_module()
+        cfg = RunConfig(data=DataConfig(use_color=True, use_normal=True))
+        np.save(tmp_path / "scene0.npy", np.ones((7, 6), np.float32))
+        with pytest.raises(SystemExit, match="first 9 columns"):
+            mod._load_store(self._args(tmp_path), cfg)
 
 
 @pytest.mark.slow
