@@ -16,6 +16,7 @@ from pointnet2_scannet_tpu.engine.export import (
     export_forward,
     export_run,
     load_exported,
+    run_kind,
     save_exported,
 )
 
@@ -34,5 +35,6 @@ __all__ = [
     "export_forward",
     "export_run",
     "load_exported",
+    "run_kind",
     "save_exported",
 ]

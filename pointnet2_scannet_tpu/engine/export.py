@@ -88,6 +88,15 @@ def load_exported(path: str | pathlib.Path) -> jax_export.Exported:
     return jax_export.deserialize(bytearray(pathlib.Path(path).read_bytes()))
 
 
+def run_kind(raw_config: dict) -> str:
+    """Classify a run dir's config.json: 'semseg' (scripts/train.py writes a
+    nested RunConfig), 'partseg' or 'cls' (the shape-family trainers write
+    their flat argparse namespaces, partseg with a num_parts key)."""
+    if "model" in raw_config and "data" in raw_config:
+        return "semseg"
+    return "partseg" if "num_parts" in raw_config else "cls"
+
+
 def export_run(
     run_dir: str | pathlib.Path,
     *,
@@ -99,33 +108,69 @@ def export_run(
 ) -> jax_export.Exported:
     """Export a trained run directory (config.json + <checkpoint>.msgpack).
 
-    Model hyperparameters and input channels come from the run's serialized
-    RunConfig, so the artifact can never drift from what was trained — the
-    same no-drift rule the eval CLI enforces (scripts/eval.py).
+    Covers all three model families — semantic segmentation
+    (scripts/train.py), shape classification (train_cls.py) and part
+    segmentation (train_partseg.py) — detecting the family from the run's
+    serialized config, so the artifact can never drift from what was
+    trained: the same no-drift rule the eval CLIs enforce (scripts/eval.py,
+    eval_shapes.py). Label artifacts emit (B, npoints) part/class ids for
+    the segmentation families and (B,) class ids for classification.
     """
-    from pointnet2_scannet_tpu import models
-    from pointnet2_scannet_tpu.config import RunConfig
+    import json
+
     from pointnet2_scannet_tpu.engine.checkpoint import restore_params_only
 
     run_dir = pathlib.Path(run_dir)
-    cfg = RunConfig.load(run_dir / "config.json")
-    model = models.get_model(
-        num_classes=cfg.model.num_classes,
-        is_msg=cfg.model.is_msg,
-        input_channels=cfg.data.input_channels,
-        use_xyz=cfg.model.use_xyz,
-        bn=cfg.model.bn,
-        dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None,
-    )
+    raw = json.loads((run_dir / "config.json").read_text())
+    kind = run_kind(raw)
+
+    if kind == "semseg":
+        from pointnet2_scannet_tpu import models
+        from pointnet2_scannet_tpu.config import RunConfig
+
+        cfg = RunConfig.load(run_dir / "config.json")
+        model = models.get_model(
+            num_classes=cfg.model.num_classes,
+            is_msg=cfg.model.is_msg,
+            input_channels=cfg.data.input_channels,
+            use_xyz=cfg.model.use_xyz,
+            bn=cfg.model.bn,
+            dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None,
+        )
+        num_classes = cfg.model.num_classes
+        channels = 3 + cfg.data.input_channels
+        run_npoints = cfg.data.npoints
+    else:
+        from pointnet2_scannet_tpu.models import get_cls_model, get_partseg_model
+
+        dtype = jnp.bfloat16 if raw.get("bf16") else None
+        run_npoints = int(raw["npoints"])
+        if kind == "partseg":
+            num_classes = int(raw["num_parts"])
+            num_categories = int(raw["categories"])
+            # the category one-hot rides as the last channels (data/shapes.py)
+            channels = 3 + num_categories
+            model = get_partseg_model(
+                num_classes, num_categories,
+                is_msg=raw["use_msg"], bn=not raw["no_bn"], dtype=dtype,
+            )
+        else:
+            num_classes = int(raw["classes"])
+            channels = 3
+            model = get_cls_model(
+                num_classes,
+                is_msg=raw["use_msg"], bn=not raw["no_bn"], dtype=dtype,
+            )
+
     variables = restore_params_only(run_dir, checkpoint)
     return export_forward(
         model.apply,
         variables,
         batch_size=batch_size,
-        npoints=npoints if npoints is not None else cfg.data.npoints,
-        channels=3 + cfg.data.input_channels,
+        npoints=npoints if npoints is not None else run_npoints,
+        channels=channels,
         emit=emit,
-        num_classes=cfg.model.num_classes,
+        num_classes=num_classes,
         platforms=platforms,
     )
 

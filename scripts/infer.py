@@ -5,7 +5,8 @@ and visualize scripts (reference scripts/eval.py:174-221,
 scripts/visualize.py:75-140) both require ground-truth labels in the scene
 files. This CLI closes that gap and carries the TPU serving path:
 
-  # export a self-contained AOT artifact (StableHLO, params baked in)
+  # export a self-contained AOT artifact (StableHLO, params baked in) —
+  # works for all three model families (semseg / cls / partseg run dirs)
   python scripts/infer.py --folder runs/X --export model.jexp [--platforms tpu]
 
   # run scene inference — from the run dir (exports in-process) or from a
@@ -100,6 +101,19 @@ def infer(args) -> None:
         )
         return
 
+    import json
+
+    from pointnet2_scannet_tpu.engine.export import run_kind
+
+    kind = run_kind(json.loads((run_dir / "config.json").read_text()))
+    if kind != "semseg":
+        raise SystemExit(
+            f"--folder points at a {kind} run: scene inference is a semantic-"
+            "segmentation flow. Shape-family runs export serving artifacts "
+            "with --export (all three families) and evaluate with "
+            "scripts/eval_shapes.py; serve artifacts programmatically via "
+            "engine.export.ServingPredictor."
+        )
     cfg = RunConfig.load(run_dir / "config.json")
     if args.from_artifact:
         if args.batch_size is not None or args.npoints is not None or args.emit != "labels":

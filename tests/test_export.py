@@ -187,6 +187,84 @@ class TestExportRun:
         )
 
 
+def make_shape_run_dir(tmp_path, kind: str, npoints: int = 512):
+    """A minimal shape-family run dir in the trainers' flat-argparse
+    config.json format (scripts/train_cls.py / train_partseg.py)."""
+    import json
+
+    from pointnet2_scannet_tpu.data.shapes import num_parts_total
+    from pointnet2_scannet_tpu.models import get_cls_model, get_partseg_model
+
+    flat = {"npoints": npoints, "use_msg": False, "no_bn": False, "bf16": False}
+    if kind == "partseg":
+        flat["categories"] = 2
+        flat["num_parts"] = num_parts_total(2)
+        model = get_partseg_model(flat["num_parts"], 2)
+        channels = 3 + 2
+    else:
+        flat["classes"] = 4
+        model = get_cls_model(4)
+        channels = 3
+    sample = jnp.zeros((1, npoints, channels), jnp.float32)
+    state = jax.jit(
+        lambda: create_train_state(
+            model, jax.random.key(0), sample, optax.adam(1e-3)
+        )
+    )()
+    save_checkpoint(
+        tmp_path, "model_best", state, epoch=0, config_json=json.dumps(flat)
+    )
+    return model, state, channels
+
+
+class TestExportShapeFamilies:
+    """export_run family dispatch: cls and partseg run dirs serve through
+    the same artifact pipeline as semseg."""
+
+    def test_cls_run_exports_and_matches_live_model(self, tmp_path):
+        model, state, channels = make_shape_run_dir(tmp_path, "cls")
+        exported = export_run(tmp_path, batch_size=2)
+        assert tuple(map(int, exported.in_avals[0].shape)) == (2, N, channels)
+        x = make_points(2, channels=channels, seed=5)
+        got = ServingPredictor(exported).predict(x)
+        vars_ = {"params": state.params, "batch_stats": state.batch_stats}
+        want = np.argmax(
+            np.asarray(jax.jit(lambda: model.apply(vars_, x, train=False))()),
+            axis=-1,
+        )
+        assert got.shape == (2,) and got.dtype == np.int8  # one id per cloud
+        np.testing.assert_array_equal(got, want)
+
+    def test_partseg_run_exports_and_matches_live_model(self, tmp_path):
+        model, state, channels = make_shape_run_dir(tmp_path, "partseg")
+        exported = export_run(tmp_path, batch_size=2)
+        assert tuple(map(int, exported.in_avals[0].shape)) == (2, N, channels)
+        x = make_points(3, channels=channels, seed=6)  # ragged onto B=2
+        got = ServingPredictor(exported).predict(x)
+        vars_ = {"params": state.params, "batch_stats": state.batch_stats}
+        want = np.argmax(
+            np.asarray(jax.jit(lambda: model.apply(vars_, x, train=False))()),
+            axis=-1,
+        )
+        assert got.shape == (3, N) and got.dtype == np.int8
+        np.testing.assert_array_equal(got, want)
+
+    def test_infer_cli_rejects_shape_run_for_scene_inference(self, tmp_path):
+        import argparse
+
+        make_shape_run_dir(tmp_path, "cls")
+        mod = TestLoadStoreWidths._infer_module()
+        args = argparse.Namespace(
+            folder=str(tmp_path), export=None, from_artifact="x.jexp",
+            checkpoint="model_best", batch_size=None, npoints=None,
+            emit="labels", platforms=None, data_dir=None, scene_list=None,
+            multiview_h5=None, synthetic=True, synthetic_scenes=1,
+            out=None, write_ply=False,
+        )
+        with pytest.raises(SystemExit, match="cls run"):
+            mod.infer(args)
+
+
 class TestLoadStoreWidths:
     """_load_store pads unlabeled clouds missing trailing layout columns and
     rejects clouds missing columns the run's feature config reads."""
