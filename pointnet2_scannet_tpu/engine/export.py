@@ -182,19 +182,31 @@ class ServingPredictor:
     (S, N, C) stack to a multiple of B with repeats of the last column and
     trims the outputs back, so whole-scene tilings of any width serve
     through the one compiled program.
+
+    Multi-device scale-out: the program is batch-parallel with no
+    cross-batch state, so pass `devices` (e.g. jax.devices()) to round-robin
+    batches across chips — each device gets its own placement of the one
+    compiled executable, dispatches are queued asynchronously on all of them
+    (jax dispatch is async; the host only blocks at the final fetch), and
+    outputs are reassembled in order. No mesh, no collectives: serving
+    throughput scales with device count the embarrassingly-parallel way.
     """
 
-    def __init__(self, exported: jax_export.Exported):
+    def __init__(self, exported: jax_export.Exported, devices=None):
         self.exported = exported
         aval = exported.in_avals[0]
         self.batch_size, self.npoints, self.channels = map(int, aval.shape)
         # jit(call) executes the embedded StableHLO natively (no re-trace of
-        # model code — there is none here).
+        # model code — there is none here). Placement follows the committed
+        # input arrays, so one jitted callable serves every device.
         self._call = jax.jit(exported.call)
+        self.devices = list(devices) if devices else None
 
     @classmethod
-    def from_artifact(cls, path: str | pathlib.Path) -> "ServingPredictor":
-        return cls(load_exported(path))
+    def from_artifact(
+        cls, path: str | pathlib.Path, devices=None
+    ) -> "ServingPredictor":
+        return cls(load_exported(path), devices=devices)
 
     def predict(self, columns: np.ndarray) -> np.ndarray:
         """(S, npoints, channels) float32 -> stacked outputs with leading S."""
@@ -211,8 +223,19 @@ class ServingPredictor:
         pad = (-s) % b
         if pad:
             columns = np.concatenate([columns, np.repeat(columns[-1:], pad, 0)])
-        outs = [
-            np.asarray(self._call(columns[i : i + b]))
-            for i in range(0, len(columns), b)
-        ]
+        starts = range(0, len(columns), b)
+        if self.devices:
+            # enqueue every batch before fetching any: per-device queues run
+            # concurrently while the host is still feeding the later ones
+            futs = [
+                self._call(
+                    jax.device_put(
+                        columns[i : i + b], self.devices[k % len(self.devices)]
+                    )
+                )
+                for k, i in enumerate(starts)
+            ]
+            outs = [np.asarray(f) for f in futs]
+        else:
+            outs = [np.asarray(self._call(columns[i : i + b])) for i in starts]
         return np.concatenate(outs)[:s]

@@ -115,6 +115,16 @@ def infer(args) -> None:
             "engine.export.ServingPredictor."
         )
     cfg = RunConfig.load(run_dir / "config.json")
+    devices = None
+    if args.num_devices and args.num_devices > 1:
+        import jax
+
+        devices = jax.devices()[: args.num_devices]
+        if len(devices) < args.num_devices:
+            raise SystemExit(
+                f"--num_devices {args.num_devices} but only "
+                f"{len(devices)} devices are visible"
+            )
     if args.from_artifact:
         if args.batch_size is not None or args.npoints is not None or args.emit != "labels":
             print(
@@ -122,7 +132,7 @@ def infer(args) -> None:
                 "artifact at export time; the values saved in "
                 f"{args.from_artifact} are used"
             )
-        predictor = ServingPredictor.from_artifact(args.from_artifact)
+        predictor = ServingPredictor.from_artifact(args.from_artifact, devices=devices)
     else:
         predictor = ServingPredictor(
             export_run(
@@ -131,7 +141,8 @@ def infer(args) -> None:
                 batch_size=batch_size,
                 npoints=args.npoints,
                 emit=args.emit,
-            )
+            ),
+            devices=devices,
         )
     if predictor.channels != 3 + cfg.data.input_channels:
         raise SystemExit(
@@ -192,6 +203,9 @@ def parse_args(argv=None):
                    "(e.g. --platforms tpu, or --platforms cpu tpu)")
     p.add_argument("--from_artifact", type=str, default=None,
                    help="serve from a saved artifact instead of re-exporting")
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="round-robin serving batches across this many devices "
+                   "(batch-parallel, no mesh; default 1)")
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--scene_list", type=str, default=None)
     p.add_argument("--multiview_h5", type=str, default=None)

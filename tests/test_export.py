@@ -128,6 +128,19 @@ class TestExportForward:
         )).predict(np.zeros((0, N, 3), np.float32))
         assert logits.shape == (0, N, 20)
 
+    def test_multi_device_round_robin_matches_single(self):
+        """devices=jax.devices() round-robins batches across the 8-device CPU
+        mesh and reassembles outputs in order, bit-equal to single-device."""
+        model, variables, _ = tiny_model()
+        exported = export_forward(
+            model.apply, variables, batch_size=2, npoints=N, channels=3
+        )
+        x = make_points(9, seed=7)  # 5 batches over 8 devices, ragged tail
+        single = ServingPredictor(exported).predict(x)
+        multi = ServingPredictor(exported, devices=jax.devices()).predict(x)
+        assert len(jax.devices()) == 8
+        np.testing.assert_array_equal(multi, single)
+
     def test_load_exported_roundtrip_platforms(self, tmp_path):
         model, variables, _ = tiny_model()
         exported = export_forward(
