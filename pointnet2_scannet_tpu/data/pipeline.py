@@ -93,7 +93,8 @@ class BatchLoader:
 
 
 def prefetch_to_device(
-    iterator, *, size: int = 2, sharding: jax.sharding.Sharding | None = None
+    iterator, *, size: int = 2, sharding: jax.sharding.Sharding | None = None,
+    place=None,
 ):
     """Background-thread prefetch + device_put (double buffering by default).
 
@@ -103,6 +104,11 @@ def prefetch_to_device(
     data-parallel layout (one H2D copy per device shard, no host round trip).
     `sharding` may also be a callable item -> sharding for streams that mix
     layouts (e.g. fused (K, B, ...) groups + per-batch leftovers).
+
+    `place` (item -> placed item) overrides the device_put entirely — the
+    hook multi-process runs use to assemble GLOBAL batches from each
+    process's local rows (ProcessContext.place); whatever it returns is
+    yielded as-is, so it may also pair the host copy with the placed one.
     """
     q: queue.Queue = queue.Queue(maxsize=size)
     sentinel = object()
@@ -111,11 +117,14 @@ def prefetch_to_device(
     def producer():
         try:
             for item in iterator:
-                s = sharding(item) if callable(sharding) else sharding
-                if s is not None:
-                    item = jax.device_put(item, s)
+                if place is not None:
+                    item = place(item)
                 else:
-                    item = jax.device_put(item)
+                    s = sharding(item) if callable(sharding) else sharding
+                    if s is not None:
+                        item = jax.device_put(item, s)
+                    else:
+                        item = jax.device_put(item)
                 q.put(item)
         except BaseException as e:  # noqa: BLE001 - re-raised in the consumer
             error.append(e)

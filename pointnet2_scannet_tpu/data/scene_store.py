@@ -107,5 +107,25 @@ class SceneStore:
     def from_scenes(cls, scenes: dict[str, np.ndarray], **kwargs) -> "SceneStore":
         return cls(sorted(scenes), scenes, **kwargs)
 
+    def shard(self, process_id: int, num_processes: int) -> "SceneStore":
+        """This process's scene shard for multi-host data parallelism —
+        strided, truncated to equal counts (ProcessContext.shard_list
+        semantics: equal per-process steps-per-epoch or the per-step
+        collectives deadlock). Label weights stay the GLOBAL split's weights:
+        the reference derives them from the whole train set
+        (lib/dataset.py:48-56), and per-shard weights would make the psum'd
+        loss mix inconsistent weightings across hosts."""
+        if num_processes <= 1:
+            return self
+        n = len(self.scene_ids) // num_processes
+        ids = self.scene_ids[process_id::num_processes][:n]
+        sub = SceneStore.__new__(SceneStore)
+        sub.scene_ids = ids
+        sub.scenes = {sid: self.scenes[sid] for sid in ids}
+        sub.multiview = {sid: self.multiview[sid] for sid in ids if sid in self.multiview}
+        sub.num_classes = self.num_classes
+        sub.label_weights = self.label_weights
+        return sub
+
     def __len__(self) -> int:
         return len(self.scene_ids)

@@ -33,10 +33,12 @@ from pointnet2_scannet_tpu.engine import metrics as M
 from pointnet2_scannet_tpu.engine import train_state as ts
 from pointnet2_scannet_tpu.engine.checkpoint import save_checkpoint
 from pointnet2_scannet_tpu.engine.logging import ScalarLogger
+from pointnet2_scannet_tpu.parallel.distributed import ProcessContext
 from pointnet2_scannet_tpu.parallel.mesh import (
     batch_sharding,
     fused_batch_sharding,
     make_mesh,
+    replicated,
 )
 from pointnet2_scannet_tpu.parallel.step import (
     make_fused_train_step,
@@ -60,6 +62,17 @@ EPOCH_REPORT = (
 BEST_REPORT = "best voxel_miou {voxel_miou:.4f} at epoch {epoch}"
 
 
+class _NullLogger:
+    """Stand-in for ScalarLogger on non-coordinator processes: metrics are
+    identical on every process (replicated/psum'd), so one writer suffices."""
+
+    def add_scalars(self, *args, **kwargs) -> None:
+        pass
+
+    def export(self) -> None:
+        pass
+
+
 class Solver:
     """Orchestrates training of a PointNet2SemSeg model on chunked scenes."""
 
@@ -72,6 +85,7 @@ class Solver:
         output_dir: str | pathlib.Path,
         *,
         mesh=None,
+        process_ctx: ProcessContext | None = None,
         compute_voxel_metrics: bool = True,
     ):
         self.model = model
@@ -79,8 +93,15 @@ class Solver:
         self.train_dataset = train_dataset
         self.val_dataset = val_dataset
         self.output_dir = pathlib.Path(output_dir)
-        self.output_dir.mkdir(parents=True, exist_ok=True)
         self.compute_voxel_metrics = compute_voxel_metrics
+
+        # multi-host: the ctx carries this process's identity; loaders hold
+        # LOCAL rows (tc.batch_size stays the GLOBAL batch), placement
+        # assembles global arrays, and every filesystem write + stdout report
+        # gates on the coordinator (parallel/distributed.py)
+        self.ctx = process_ctx or ProcessContext.single()
+        if self.ctx.is_coordinator:
+            self.output_dir.mkdir(parents=True, exist_ok=True)
 
         tc = config.train
         self.mesh = (
@@ -88,11 +109,28 @@ class Solver:
             if mesh is not None
             else make_mesh(tc.num_devices, batch_size=tc.batch_size)
         )
+        if self.ctx.num_processes > 1:
+            if tc.batch_size % self.ctx.num_processes:
+                raise ValueError(
+                    f"global batch_size {tc.batch_size} not divisible by "
+                    f"{self.ctx.num_processes} processes"
+                )
+            if len(self.mesh.axis_names) != 1:
+                raise ValueError(
+                    "multi-process runs need a dp-only mesh (dp x tp would "
+                    "shard parameters across hosts that feed disjoint data)"
+                )
+        self.local_batch_size = tc.batch_size // self.ctx.num_processes
         # single device: plain device_put (NamedSharding placement pays a
         # host round trip on the tunneled single-chip backend)
         self.batch_sharding = batch_sharding(self.mesh) if self.mesh.size > 1 else None
 
         self._make_loaders(train_dataset, val_dataset, tc)
+        # a per-step collective count mismatch across processes deadlocks
+        # mid-epoch; fail at construction instead
+        self.ctx.assert_uniform(len(self.train_loader), "train steps per epoch")
+        if self.val_loader is not None:
+            self.ctx.assert_uniform(len(self.val_loader), "val steps per epoch")
 
         steps_per_epoch = max(self._steps_per_epoch(), 1)
         schedule = ts.make_lr_schedule(
@@ -106,6 +144,11 @@ class Solver:
         c = 3 + config.data.input_channels
         sample = np.zeros((1, config.data.npoints, c), np.float32)
         self.state = ts.create_train_state(model, init_rng, sample, tx)
+        if self.ctx.num_processes > 1:
+            # same-seed init is identical on every process; make the
+            # replication explicit so jit never sees host-local inputs
+            self.state = self.ctx.replicate(self.state, self.mesh)
+            self.dropout_rng = self.ctx.replicate(self.dropout_rng, self.mesh)
 
         # parallel strategy: on a dp-only multi-device mesh the production
         # path is the explicit shard_map step — GSPMD treats pallas_call as an
@@ -171,29 +214,61 @@ class Solver:
             if self.mesh.size > 1:
                 self._fused_sharding = fused_batch_sharding(self.mesh)
 
-        self.logger = ScalarLogger(self.output_dir)
+        self.logger = (
+            ScalarLogger(self.output_dir) if self.ctx.is_coordinator else _NullLogger()
+        )
         self.best = {"epoch": -1, "voxel_miou": -1.0}
         self._global_iter = 0
-        config.save(self.output_dir / "config.json")
+        if self.ctx.is_coordinator:
+            config.save(self.output_dir / "config.json")
 
     # -------------------------------------------------------------- loaders
+
+    def _say(self, *args, **kwargs) -> None:
+        """Coordinator-only stdout (multi-process runs would interleave N
+        copies of every report otherwise)."""
+        if self.ctx.is_coordinator:
+            print(*args, **kwargs)
+
+    def _place_item(self, item):
+        """Host batch -> device placement: plain put single-device, sharded
+        put on a single-process mesh, global assembly from this process's
+        local rows in multi-process runs. Fused (K, B, ...) groups shard
+        axis 1; per-batch items shard axis 0."""
+        fused = item["points"].ndim == 4
+        if self.ctx.num_processes > 1:
+            return self.ctx.place(item, self.mesh, axis=1 if fused else 0)
+        if self.mesh.size == 1:
+            return jax.device_put(item)
+        return jax.device_put(
+            item, self._fused_sharding if fused else self.batch_sharding
+        )
+
+    def _local_preds(self, preds) -> np.ndarray:
+        """Eval preds come back batch-sharded; each process reads back only
+        the rows it fed (they pair with its host-side coords/labels)."""
+        return self.ctx.local_rows(preds)
 
     def _make_loaders(self, train_dataset, val_dataset, tc):
         # train: drop the ragged trailing batch (padding would pollute the
         # BatchNorm batch statistics with zero rows); val: pad it to the one
         # compiled shape and mask the pad rows out of loss + metrics.
+        # Multi-process: the datasets are this process's scene shard and the
+        # loaders assemble LOCAL rows (batch_size/num_processes per batch).
         self.train_loader = BatchLoader(
-            train_dataset, tc.batch_size, seed=tc.seed, drop_last=True,
+            train_dataset, self.local_batch_size, seed=tc.seed, drop_last=True,
             shuffle=tc.shuffle,
         )
         if len(self.train_loader) == 0:
             raise ValueError(
                 f"training dataset ({len(train_dataset)} items) yields zero "
-                f"batches at batch_size={tc.batch_size} with drop_last — "
+                f"batches at batch_size={self.local_batch_size} with drop_last — "
                 "reduce batch_size or add scenes"
             )
         self.val_loader = (
-            BatchLoader(val_dataset, tc.batch_size, seed=tc.seed, pad_last=True)
+            BatchLoader(
+                val_dataset, self.local_batch_size, seed=tc.seed, pad_last=True
+            )
             if val_dataset is not None
             else None
         )
@@ -252,16 +327,17 @@ class Solver:
                 self.logger.add_scalars("val", val_stats, epoch)
                 if val_stats.get("voxel_miou", -1.0) > self.best["voxel_miou"]:
                     self.best = {"epoch": epoch, **val_stats}
-                    print(BEST_REPORT.format(voxel_miou=val_stats["voxel_miou"], epoch=epoch), flush=True)
-                    save_checkpoint(
-                        self.output_dir,
-                        "model_best",
-                        self.state,
-                        epoch=epoch,
-                        best=self.best,
-                        config_json=self.config.to_json(),
-                    )
-                print(
+                    self._say(BEST_REPORT.format(voxel_miou=val_stats["voxel_miou"], epoch=epoch), flush=True)
+                    if self.ctx.is_coordinator:
+                        save_checkpoint(
+                            self.output_dir,
+                            "model_best",
+                            self.state,
+                            epoch=epoch,
+                            best=self.best,
+                            config_json=self.config.to_json(),
+                        )
+                self._say(
                     EPOCH_REPORT.format(
                         epoch=epoch + 1,
                         epochs=epochs,
@@ -275,23 +351,26 @@ class Solver:
             # every-epoch model_last keeps the run resumable after a crash
             # or kill (resume() reads model_last; without this an
             # interrupted 500-epoch run would leave nothing to resume from)
-            save_checkpoint(
-                self.output_dir,
-                "model_last",
-                self.state,
-                epoch=epoch,
-                best=self.best,
-                config_json=self.config.to_json(),
-            )
-        if epochs <= start_epoch:  # zero-epoch call: model_last must still exist
+            if self.ctx.is_coordinator:
+                save_checkpoint(
+                    self.output_dir,
+                    "model_last",
+                    self.state,
+                    epoch=epoch,
+                    best=self.best,
+                    config_json=self.config.to_json(),
+                )
+        if epochs <= start_epoch and self.ctx.is_coordinator:
+            # zero-epoch call: model_last must still exist
             save_checkpoint(
                 self.output_dir, "model_last", self.state,
                 epoch=start_epoch - 1, best=self.best,
                 config_json=self.config.to_json(),
             )
-        (self.output_dir / "best.txt").write_text(
-            "\n".join(f"{k}: {v}" for k, v in self.best.items())
-        )
+        if self.ctx.is_coordinator:
+            (self.output_dir / "best.txt").write_text(
+                "\n".join(f"{k}: {v}" for k, v in self.best.items())
+            )
         self.logger.export()
         return self.best
 
@@ -319,15 +398,8 @@ class Solver:
         iters = len(self.train_loader)
         it_done, last_report = 0, 0
         t0 = time.time()
-        def _shard_for(item):
-            if self.mesh.size == 1:
-                return None
-            if item["points"].ndim == 4:
-                return self._fused_sharding
-            return self.batch_sharding
-
         for item in prefetch_to_device(
-            self._fused_group_stream(), sharding=_shard_for
+            self._fused_group_stream(), place=self._place_item
         ):
             if item["points"].ndim == 4:
                 k = item["points"].shape[0]
@@ -355,7 +427,7 @@ class Solver:
                     self._global_iter + it_done, 1
                 )
                 eta = decode_eta(mean_iter * iters_left)
-                print(
+                self._say(
                     ITER_REPORT.format(
                         epoch=epoch + 1,
                         epochs=epochs,
@@ -408,7 +480,7 @@ class Solver:
         iters = len(self.train_loader)
         last = time.time()
         for it, batch in enumerate(
-            prefetch_to_device(iter(self.train_loader), sharding=self.batch_sharding)
+            prefetch_to_device(iter(self.train_loader), place=self._place_item)
         ):
             now = time.time()
             fetch_times.append(now - last)
@@ -437,7 +509,7 @@ class Solver:
                 iters_left = (epochs - epoch) * iters - (it + 1)
                 mean_iter = (time.time() - t_start) / max(self._global_iter + it + 1, 1)
                 eta = decode_eta(mean_iter * iters_left)
-                print(
+                self._say(
                     ITER_REPORT.format(
                         epoch=epoch + 1,
                         epochs=epochs,
@@ -465,21 +537,28 @@ class Solver:
 
     # -------------------------------------------------------------------- val
 
+    def _val_batches(self):
+        """(host, placed) batch pairs: the eval step consumes the placed
+        global batch; host-side voxel metrics read THIS process's rows from
+        the host copy (in multi-process runs np.asarray on a dp-sharded
+        global array would fail — rows on other hosts aren't addressable)."""
+        return prefetch_to_device(
+            iter(self.val_loader), place=lambda b: (b, self._place_item(b))
+        )
+
     def _run_val_epoch(self):
         losses, cms = [], []
         vox_accs, vox_mious, vox_cali = [], [], []
-        for batch in prefetch_to_device(
-            iter(self.val_loader), sharding=self.batch_sharding
-        ):
-            out = self._eval_step(self.state, batch)
+        for host, placed in self._val_batches():
+            out = self._eval_step(self.state, placed)
             losses.append(out["loss"])
             cms.append(out["confusion"])
             if self.compute_voxel_metrics:
-                real = np.asarray(batch["row_mask"]) > 0
-                coords = np.asarray(batch["points"])[real][..., :3].reshape(-1, 3)
-                preds = np.asarray(out["preds"])[real].reshape(-1)
-                targets = np.asarray(batch["labels"])[real].reshape(-1)
-                weights = np.asarray(batch["weights"])[real].reshape(-1)
+                real = np.asarray(host["row_mask"]) > 0
+                coords = np.asarray(host["points"])[real][..., :3].reshape(-1, 3)
+                preds = self._local_preds(out["preds"])[real].reshape(-1)
+                targets = np.asarray(host["labels"])[real].reshape(-1)
+                weights = np.asarray(host["weights"])[real].reshape(-1)
                 # fused: one dedup+voxelization for both metric families
                 (
                     (_, _, voxacc, voxacc_pc, cali, acc_mask),
@@ -495,13 +574,28 @@ class Solver:
         cm_total = np.sum([np.asarray(c) for c in cms], axis=0)
         stats = {"loss": float(np.mean([np.asarray(l) for l in losses]))}
         stats.update(M.confusion_to_point_metrics(cm_total))
-        if self.compute_voxel_metrics and vox_mious:
-            stats["voxel_acc"] = float(np.mean(vox_accs))
-            stats["voxel_acc_calibrated"] = float(np.mean(vox_cali))
-            stats["voxel_miou"] = float(np.mean(vox_mious))
-        else:
-            # fall back to point mIoU for best-model gating
-            stats["voxel_miou"] = stats["point_miou"]
+        return self._finish_voxel_stats(stats, vox_accs, vox_cali, vox_mious)
+
+    def _finish_voxel_stats(self, stats, vox_accs, vox_cali, vox_mious):
+        """Fold host-computed voxel metrics into the val stats. loss/confusion
+        are already global (psum'd on device); the voxel accumulators are
+        per-PROCESS batch lists, so multi-host runs sum them across processes
+        — every process then gates best-model on identical numbers."""
+        if self.compute_voxel_metrics:
+            sums = self.ctx.sum_across_processes(
+                np.array(
+                    [np.sum(vox_accs), np.sum(vox_cali), np.sum(vox_mious),
+                     len(vox_mious)],
+                    np.float64,
+                )
+            )
+            if sums[3] > 0:
+                stats["voxel_acc"] = float(sums[0] / sums[3])
+                stats["voxel_acc_calibrated"] = float(sums[1] / sums[3])
+                stats["voxel_miou"] = float(sums[2] / sums[3])
+                return stats
+        # fall back to point mIoU for best-model gating
+        stats["voxel_miou"] = stats["point_miou"]
         return stats
 
 
@@ -554,6 +648,12 @@ class WholeSceneSolver(Solver):
     loss, lib/solver.py:155-169 + scripts/train.py --use_wholescene).
 
     train_dataset / val_dataset are WholeSceneDataset instances.
+
+    Multi-process: scenes are NOT sharded across processes (one optimizer
+    update per scene is the recipe's semantics — splitting scenes would
+    change it); every process iterates the same scene stream and feeds its
+    row-slice of each micro-batch (ProcessContext.place_from_global), so the
+    micro-batch collective counts line up by construction.
     """
 
     def __init__(self, *args, **kwargs):
@@ -584,6 +684,13 @@ class WholeSceneSolver(Solver):
             else None
         )
 
+    def _place_scene_mb(self, mb):
+        """Whole-scene micro-batches are GLOBAL (every process builds the
+        same rows); each process places its own row-slice."""
+        if self.ctx.num_processes > 1:
+            return self.ctx.place_from_global(mb, self.mesh, axis=0)
+        return jax.device_put(mb, self.batch_sharding)
+
     def _steps_per_epoch(self) -> int:
         return len(self.train_loader)  # one update per scene
 
@@ -598,7 +705,7 @@ class WholeSceneSolver(Solver):
             count_sum = None
             cm_sum = None
             for mi, mb in enumerate(micro_batches):
-                mb = jax.device_put(mb, self.batch_sharding)
+                mb = self._place_scene_mb(mb)
                 grads, new_bs, ls, cnt, cm = self._accum_step(
                     self.state, mb, self.dropout_rng, np.int32(mi)
                 )
@@ -618,7 +725,7 @@ class WholeSceneSolver(Solver):
             cms.append(np.asarray(cm_sum))
             if (it + 1) % verbose == 0:
                 pm = M.confusion_to_point_metrics(np.sum(cms[-verbose:], axis=0))
-                print(
+                self._say(
                     ITER_REPORT.format(
                         epoch=epoch + 1,
                         epochs=epochs,
@@ -647,13 +754,16 @@ class WholeSceneSolver(Solver):
         for scene_id, micro_batches in self.val_loader.scenes():
             scene_preds, scene_coords, scene_targets, scene_weights = [], [], [], []
             for mb in micro_batches:
-                mb_dev = jax.device_put(mb, self.batch_sharding)
+                mb_dev = self._place_scene_mb(mb)
                 out = self._eval_step(self.state, mb_dev)
                 losses.append(out["loss"])
                 cms.append(out["confusion"])
                 real = mb["row_mask"] > 0
                 scene_coords.append(mb["points"][real][..., :3].reshape(-1, 3))
-                scene_preds.append(np.asarray(out["preds"])[real].reshape(-1))
+                # scene metrics need the WHOLE scene's preds; in multi-process
+                # runs preds are dp-sharded, so gather the full rows (every
+                # process then computes identical per-scene metrics)
+                scene_preds.append(self.ctx.all_rows(out["preds"])[real].reshape(-1))
                 scene_targets.append(mb["labels"][real].reshape(-1))
                 scene_weights.append(mb["weights"][real].reshape(-1))
             if self.compute_voxel_metrics and scene_preds:
@@ -678,6 +788,9 @@ class WholeSceneSolver(Solver):
         cm_total = np.sum([np.asarray(c) for c in cms], axis=0)
         stats = {"loss": float(np.mean([np.asarray(l) for l in losses]))}
         stats.update(M.confusion_to_point_metrics(cm_total))
+        # NO cross-process fold here (unlike Solver._finish_voxel_stats):
+        # whole-scene val computes each scene's metrics from the gathered
+        # full-scene preds, so the lists are already identical everywhere
         if self.compute_voxel_metrics and vox_mious:
             stats["voxel_acc"] = float(np.mean(vox_accs))
             stats["voxel_acc_calibrated"] = float(np.mean(vox_cali))

@@ -7,6 +7,10 @@ replicated, and XLA's partitioner inserts the gradient psum — no hand-written
 collectives on the hot path.
 """
 
+from pointnet2_scannet_tpu.parallel.distributed import (
+    ProcessContext,
+    initialize_distributed,
+)
 from pointnet2_scannet_tpu.parallel.mesh import (
     make_mesh,
     make_mesh_2d,
@@ -26,6 +30,8 @@ from pointnet2_scannet_tpu.parallel.step import (
 )
 
 __all__ = [
+    "ProcessContext",
+    "initialize_distributed",
     "make_mesh",
     "make_mesh_2d",
     "batch_sharding",

@@ -77,7 +77,7 @@ def load_scene_list(path: str) -> list[str]:
     return [l.strip() for l in open(path) if l.strip()]
 
 
-def make_stores(cfg):
+def make_stores(cfg, ctx):
     from pointnet2_scannet_tpu.data.scene_store import SceneStore
     from pointnet2_scannet_tpu.data.synthetic import make_synthetic_store
 
@@ -85,26 +85,53 @@ def make_stores(cfg):
         n = cfg.train.synthetic_scenes
         train_store = make_synthetic_store(n, seed=0)
         val_store = make_synthetic_store(max(n // 4, 1), seed=1000)
-        return train_store, val_store
-
-    train_ids = load_scene_list(cfg.paths.train_list)
-    val_ids = load_scene_list(cfg.paths.val_list)
-    if cfg.train.debug:
-        # the reference --debug trains and validates on one scene
-        # (scripts/train.py:72-74)
-        train_ids = train_ids[:1]
-        val_ids = train_ids
-    mv = cfg.paths.multiview_h5 if cfg.data.use_multiview else None
-    train_store = SceneStore.from_npy_dir(
-        train_ids, cfg.paths.preprocessed_dir, mv, is_weighting=cfg.data.is_weighting
-    )
-    val_store = SceneStore.from_npy_dir(
-        val_ids, cfg.paths.preprocessed_dir, mv, is_weighting=cfg.data.is_weighting
-    )
+    else:
+        train_ids = load_scene_list(cfg.paths.train_list)
+        val_ids = load_scene_list(cfg.paths.val_list)
+        if cfg.train.debug:
+            # the reference --debug trains and validates on one scene
+            # (scripts/train.py:72-74)
+            train_ids = train_ids[:1]
+            val_ids = train_ids
+        mv = cfg.paths.multiview_h5 if cfg.data.use_multiview else None
+        train_store = SceneStore.from_npy_dir(
+            train_ids, cfg.paths.preprocessed_dir, mv, is_weighting=cfg.data.is_weighting
+        )
+        val_store = SceneStore.from_npy_dir(
+            val_ids, cfg.paths.preprocessed_dir, mv, is_weighting=cfg.data.is_weighting
+        )
+    # multi-host chunked training: each process keeps a disjoint scene shard
+    # (label weights stay the GLOBAL split's — SceneStore.shard). Whole-scene
+    # mode instead iterates every scene on every process and row-slices the
+    # micro-batches (WholeSceneSolver docstring).
+    if ctx.num_processes > 1 and not cfg.train.wholescene:
+        for store, name in ((train_store, "train"), (val_store, "val")):
+            if ctx.is_coordinator and len(store) % ctx.num_processes:
+                print(
+                    f"multi-host: dropping {len(store) % ctx.num_processes} "
+                    f"trailing {name} scene(s) to equalize per-process shards",
+                    flush=True,
+                )
+        train_store = train_store.shard(ctx.process_id, ctx.num_processes)
+        val_store = val_store.shard(ctx.process_id, ctx.num_processes)
     return train_store, val_store
 
 
 def train(args) -> None:
+    # multi-host: join the processes BEFORE anything touches devices —
+    # afterwards jax.devices() is the GLOBAL list and the dp mesh spans it
+    from pointnet2_scannet_tpu.parallel.distributed import initialize_distributed
+
+    ctx = initialize_distributed(
+        args.dist_coordinator, args.dist_nprocs, args.dist_pid
+    )
+    if ctx.num_processes > 1 and args.num_devices is not None:
+        raise SystemExit(
+            "--num_devices cannot be combined with multi-host flags: the "
+            "global mesh must span every process's devices (a truncated mesh "
+            "would leave some processes outside the collectives and hang)"
+        )
+
     from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -137,9 +164,10 @@ def train(args) -> None:
         if args.tag:
             stamp += "_" + args.tag.upper()
         output_dir = pathlib.Path(cfg.paths.output_root) / stamp
-        output_dir.mkdir(parents=True, exist_ok=True)
+        if ctx.is_coordinator:  # non-coordinators never write run artifacts
+            output_dir.mkdir(parents=True, exist_ok=True)
 
-    train_store, val_store = make_stores(cfg)
+    train_store, val_store = make_stores(cfg, ctx)
     if cfg.train.wholescene:
         # whole-scene training: one gradient-accumulated update per scene
         # (reference --use_wholescene, scripts/train.py:23 + solver.py:155-169)
@@ -172,23 +200,33 @@ def train(args) -> None:
         dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None,
         bn_axis_name=bn_axis,
     )
-    solver = solver_cls(model, train_ds, val_ds, cfg, output_dir, mesh=mesh)
-    print(f"parallel strategy: {solver.parallel_strategy} (mesh size {mesh.size})")
-
-    info = {
-        **vars(args),
-        "num_train_scenes": len(train_store),
-        "num_val_scenes": len(val_store),
-        "num_params": int(
-            sum(np.prod(p.shape) for p in _leaves(solver.state.params))
-        ),
-    }
-    (output_dir / "info.json").write_text(json.dumps(info, indent=2, default=str))
+    solver = solver_cls(
+        model, train_ds, val_ds, cfg, output_dir, mesh=mesh, process_ctx=ctx
+    )
+    if ctx.is_coordinator:
+        print(
+            f"parallel strategy: {solver.parallel_strategy} "
+            f"(mesh size {mesh.size}, processes {ctx.num_processes})"
+        )
+        info = {
+            **vars(args),
+            "num_train_scenes": len(train_store),
+            "num_val_scenes": len(val_store),
+            "num_params": int(
+                sum(np.prod(p.shape) for p in _leaves(solver.state.params))
+            ),
+        }
+        (output_dir / "info.json").write_text(json.dumps(info, indent=2, default=str))
 
     start_epoch = solver.resume() if args.resume else 0
-    print(f"training -> {output_dir} (from epoch {start_epoch})")
+    if ctx.is_coordinator:
+        print(f"training -> {output_dir} (from epoch {start_epoch})")
     best = solver(start_epoch=start_epoch)
-    print("best:", best)
+    # all processes reach the end together before the coordinator's files are
+    # read by anything downstream (and before jax.distributed tears down)
+    ctx.barrier("train-end")
+    if ctx.is_coordinator:
+        print("best:", best)
 
 
 def _leaves(tree):
@@ -244,7 +282,26 @@ def parse_args(argv=None):
     p.add_argument("--synthetic_scenes", type=int, default=8)
     p.add_argument(
         "--resume", type=str, default=None,
-        help="run output dir to resume from (restores full train state)",
+        help="run output dir to resume from (restores full train state); "
+        "multi-host runs must pass the COORDINATOR's output dir on every "
+        "process (shared filesystem)",
+    )
+    # multi-host (pod-scale) data parallelism: launch one process per host
+    # with the same coordinator address and a unique --dist_pid; the dp mesh
+    # then spans every host's chips and each process feeds its own scene
+    # shard (parallel/distributed.py; exercised with real processes over the
+    # CPU backend in tests/test_multihost.py)
+    p.add_argument(
+        "--dist_coordinator", type=str, default=None,
+        help="host:port of process 0 for multi-host runs",
+    )
+    p.add_argument(
+        "--dist_nprocs", type=int, default=1,
+        help="total number of processes in the multi-host run",
+    )
+    p.add_argument(
+        "--dist_pid", type=int, default=0,
+        help="this process's id in [0, dist_nprocs)",
     )
     return p.parse_args(argv)
 

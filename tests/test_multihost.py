@@ -1,0 +1,183 @@
+"""Multi-host (pod-scale) training, exercised with REAL separate processes.
+
+Unlike tests/test_parallel.py (one process, 8 virtual devices), these spawn
+2 processes x 4 virtual CPU devices joined via jax.distributed — actual
+cross-process collectives, actual per-process data feeding
+(ProcessContext.place), actual coordinator write-gating. The reference has
+no distributed capability at all (SURVEY.md §2.4); this is framework-new.
+
+Both tests are subprocess-heavy (each worker compiles its own XLA programs)
+— they are the multi-host analog of test_cli_integration.py.
+"""
+
+import json
+import pathlib
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def launch(script: str, args: list[str], *, local_devices: int = 4):
+    """Start one process of a distributed run, CPU-forced with its own
+    virtual device count (the ambient env pins the TPU plugin; JAX_PLATFORMS
+    is ignored — same bootstrap as test_cli_integration.run_cli)."""
+    boot = (
+        "import os; "
+        f"os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count={local_devices}'; "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        f"import runpy, sys; sys.argv = [{script!r}] + {args!r}; "
+        f"runpy.run_path({str(REPO / script)!r}, run_name='__main__')"
+    )
+    return subprocess.Popen(
+        [sys.executable, "-c", boot],
+        cwd=REPO,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+
+
+def join_all(procs, timeout: int):
+    outs = []
+    for i, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((out, err))
+    for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"process {i} failed (rc={p.returncode}):\n"
+            f"STDOUT:\n{out[-4000:]}\nSTDERR:\n{err[-4000:]}"
+        )
+    return outs
+
+
+class TestDistributedStepAgreement:
+    def test_two_process_step_matches_single_process(self, tmp_path):
+        """3 shard_map train steps across 2 real processes == the same 3
+        steps in ONE process on the 8-device mesh fed the concatenated
+        global batches (the placement contract: process p's local rows land
+        at global rows [p*B_local, (p+1)*B_local))."""
+        coord = f"127.0.0.1:{free_port()}"
+        outs = [tmp_path / f"w{p}.npz" for p in range(2)]
+        procs = [
+            launch(
+                "tests/multihost_worker.py",
+                [str(p), "2", coord, str(outs[p])],
+            )
+            for p in range(2)
+        ]
+        join_all(procs, timeout=900)
+
+        w0 = np.load(outs[0])
+        w1 = np.load(outs[1])
+        # replication invariant: both processes hold bit-identical params
+        np.testing.assert_array_equal(w0["params"], w1["params"])
+        np.testing.assert_array_equal(w0["losses"], w1["losses"])
+
+        # single-process reference on the concatenated global batches
+        import jax
+
+        from pointnet2_scannet_tpu import models
+        from pointnet2_scannet_tpu.engine import train_state as ts
+        from pointnet2_scannet_tpu.parallel import make_mesh, replicated
+        from pointnet2_scannet_tpu.parallel.step import make_shardmap_train_step
+        from tests.multihost_worker import flat_params, local_batches
+
+        mesh = make_mesh(8)
+        model = models.get_model(
+            num_classes=20, is_msg=False, input_channels=0, bn_axis_name="dp"
+        )
+        tx = ts.make_optimizer(ts.make_lr_schedule(1e-3, 100, 0.7, 10))
+        state = ts.create_train_state(
+            model, jax.random.key(0), np.zeros((1, 1024, 3), np.float32), tx
+        )
+        state = jax.device_put(state, replicated(mesh))
+        key = jax.device_put(jax.random.key(1), replicated(mesh))
+        step = make_shardmap_train_step(mesh, num_classes=20, donate=False)
+
+        b0 = local_batches(0, n_steps=3, b_local=4, n=1024)
+        b1 = local_batches(1, n_steps=3, b_local=4, n=1024)
+        losses = []
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        for a, b in zip(b0, b1):
+            gbatch = {
+                k: np.concatenate([a[k], b[k]]) for k in a
+            }
+            gbatch = jax.device_put(gbatch, NamedSharding(mesh, P("dp")))
+            state, stats = step(state, gbatch, key)
+            losses.append(float(np.asarray(stats["loss"])))
+
+        # step 1 consumes identical params + identical global batch -> its
+        # loss is the pure placement/data contract and must match tightly.
+        # Later steps sit on top of updated params, where the cross-process
+        # psum's different reduction order makes Adam flip near-zero-gradient
+        # updates by a full lr (see test_parallel.py) — drift compounds, so
+        # they get an lr-scaled budget instead of float tolerance.
+        np.testing.assert_allclose(w0["losses"][0], losses[0], rtol=1e-6)
+        np.testing.assert_allclose(w0["losses"], np.array(losses), rtol=5e-3)
+        # every param within its 3-step Adam update envelope (|update| <= lr
+        # per step; random-label gradients are near zero so the envelope is
+        # the budget — a real placement/data bug would blow straight past it)
+        np.testing.assert_allclose(
+            w0["params"], flat_params(state), atol=3 * 2.1e-3
+        )
+
+
+class TestDistributedTrainCLI:
+    def test_full_train_cli_two_processes(self, tmp_path):
+        """The COMPLETE training CLI across 2 processes on synthetic scenes:
+        scene-shard loading, global-batch assembly, shard_map dp step, padded
+        distributed validation with cross-process voxel-metric aggregation,
+        coordinator-only checkpoint/log writes."""
+        coord = f"127.0.0.1:{free_port()}"
+        out_roots = [tmp_path / f"out{p}" for p in range(2)]
+        common = [
+            "--synthetic", "--synthetic_scenes", "8", "--batch_size", "8",
+            "--epoch", "2", "--npoints", "1024", "--verbose", "1",
+            "--fused_steps", "1", "--dist_coordinator", coord,
+            "--dist_nprocs", "2",
+        ]
+        procs = [
+            launch(
+                "scripts/train.py",
+                common + ["--dist_pid", str(p), "--output_root", str(out_roots[p])],
+            )
+            for p in range(2)
+        ]
+        (out0, _), (out1, _) = join_all(procs, timeout=1200)
+
+        assert "parallel strategy: shard_map_dp (mesh size 8, processes 2)" in out0
+        assert "best:" in out0
+        # write gating: ONLY the coordinator produced a run directory
+        runs0 = list(out_roots[0].iterdir())
+        assert len(runs0) == 1, runs0
+        assert not out_roots[1].exists() or not list(out_roots[1].iterdir())
+        run = runs0[0]
+        for f in ("config.json", "info.json", "model_last.msgpack",
+                  "model_last.meta.json", "best.txt"):
+            assert (run / f).exists(), f"missing {f} in {list(run.iterdir())}"
+        scalars = json.loads(
+            (run / "tensorboard" / "all_scalars.json").read_text()
+        )
+        for tag in ("train/loss", "val/loss", "val/voxel_miou"):
+            vals = [v for _, v in scalars[tag]]
+            assert len(vals) == 2, (tag, scalars[tag])  # one point per epoch
+            assert all(np.isfinite(v) for v in vals), (tag, vals)
+        # the non-coordinator stayed silent on per-iter reports
+        assert "epoch [1/2]" not in out1

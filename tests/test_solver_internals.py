@@ -206,9 +206,28 @@ class TestRunModeSerialization:
         assert not back.train.wholescene and not back.train.synthetic
 
     def test_make_stores_follows_config_not_args(self):
+        from pointnet2_scannet_tpu.parallel import ProcessContext
+
         mod = self._train_mod()
         args = mod.parse_args(["--synthetic", "--synthetic_scenes", "4"])
         cfg = mod.build_config(args)
-        train_store, val_store = mod.make_stores(cfg)
+        train_store, val_store = mod.make_stores(cfg, ProcessContext.single())
         assert len(train_store.scene_ids) == 4
         assert len(val_store.scene_ids) == 1
+
+    def test_make_stores_shards_scenes_with_global_weights(self):
+        # multi-host chunked mode: disjoint equal scene shards per process,
+        # label weights identical on every shard (computed pre-shard)
+        from pointnet2_scannet_tpu.parallel import ProcessContext
+
+        mod = self._train_mod()
+        args = mod.parse_args(["--synthetic", "--synthetic_scenes", "5"])
+        cfg = mod.build_config(args)
+        full, _ = mod.make_stores(cfg, ProcessContext.single())
+        s0, _ = mod.make_stores(cfg, ProcessContext(0, 2))
+        s1, _ = mod.make_stores(cfg, ProcessContext(1, 2))
+        assert len(s0) == len(s1) == 2  # 5 scenes -> 2+2, 1 dropped
+        assert not set(s0.scene_ids) & set(s1.scene_ids)
+        assert set(s0.scene_ids) | set(s1.scene_ids) <= set(full.scene_ids)
+        np.testing.assert_array_equal(s0.label_weights, full.label_weights)
+        np.testing.assert_array_equal(s1.label_weights, full.label_weights)
