@@ -25,10 +25,11 @@ from pointnet2_scannet_tpu.config import NUM_CLASSES
 
 
 def compute_label_weights(
-    labels_per_scene: Sequence[np.ndarray], num_classes: int = NUM_CLASSES
+    labels_per_scene, num_classes: int = NUM_CLASSES
 ) -> np.ndarray:
     """Inverse-log-frequency class weights: 1/log(1.2 + freq)
-    (lib/dataset.py:48-56)."""
+    (lib/dataset.py:48-56). Accepts any iterable of per-scene label arrays
+    (including a generator of mmap'd columns — see from_npy_dir_sharded)."""
     counts = np.zeros(num_classes, np.float64)
     for seg in labels_per_scene:
         tmp, _ = np.histogram(seg, bins=range(num_classes + 1))
@@ -104,21 +105,62 @@ class SceneStore:
         return cls(scene_ids, scenes, multiview, **kwargs)
 
     @classmethod
+    def from_npy_dir_sharded(
+        cls,
+        scene_ids: Sequence[str],
+        preprocessed_dir: str | pathlib.Path,
+        multiview_h5: str | pathlib.Path | None = None,
+        *,
+        process_id: int,
+        num_processes: int,
+        num_classes: int = NUM_CLASSES,
+        is_weighting: bool = True,
+        equalize: bool = True,
+    ) -> "SceneStore":
+        """Pod-scale loading: hold full arrays (and multiview banks) only for
+        THIS process's scene shard, while label weights still come from the
+        WHOLE split — a streaming label-column pass over every scene, one
+        histogram resident at a time instead of N hosts x all scenes in RAM.
+        Shard semantics match SceneStore.shard (strided; equalize=True
+        truncates to equal counts for training, False covers every scene
+        for distributed eval)."""
+        root = pathlib.Path(preprocessed_dir)
+        my_ids = list(scene_ids)[process_id::num_processes]
+        if equalize:
+            my_ids = my_ids[: len(scene_ids) // max(num_processes, 1)]
+        store = cls.from_npy_dir(
+            my_ids, preprocessed_dir, multiview_h5,
+            num_classes=num_classes, is_weighting=False,
+        )
+        if is_weighting:
+            store.label_weights = compute_label_weights(
+                (np.load(root / f"{sid}.npy", mmap_mode="r")[:, 10]
+                 for sid in scene_ids),
+                num_classes,
+            )
+        return store
+
+    @classmethod
     def from_scenes(cls, scenes: dict[str, np.ndarray], **kwargs) -> "SceneStore":
         return cls(sorted(scenes), scenes, **kwargs)
 
-    def shard(self, process_id: int, num_processes: int) -> "SceneStore":
+    def shard(
+        self, process_id: int, num_processes: int, *, equalize: bool = True
+    ) -> "SceneStore":
         """This process's scene shard for multi-host data parallelism —
-        strided, truncated to equal counts (ProcessContext.shard_list
-        semantics: equal per-process steps-per-epoch or the per-step
-        collectives deadlock). Label weights stay the GLOBAL split's weights:
-        the reference derives them from the whole train set
-        (lib/dataset.py:48-56), and per-shard weights would make the psum'd
-        loss mix inconsistent weightings across hosts."""
+        strided; `equalize` truncates to equal counts (ProcessContext.
+        shard_list semantics: TRAINING needs equal per-process steps-per-
+        epoch or the per-step collectives deadlock; distributed EVAL has no
+        per-step collectives and passes equalize=False to cover every
+        scene). Label weights stay the GLOBAL split's weights: the reference
+        derives them from the whole train set (lib/dataset.py:48-56), and
+        per-shard weights would make the psum'd loss mix inconsistent
+        weightings across hosts."""
         if num_processes <= 1:
             return self
-        n = len(self.scene_ids) // num_processes
-        ids = self.scene_ids[process_id::num_processes][:n]
+        ids = self.scene_ids[process_id::num_processes]
+        if equalize:
+            ids = ids[: len(self.scene_ids) // num_processes]
         sub = SceneStore.__new__(SceneStore)
         sub.scene_ids = ids
         sub.scenes = {sid: self.scenes[sid] for sid in ids}

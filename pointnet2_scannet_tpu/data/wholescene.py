@@ -32,7 +32,7 @@ class WholeSceneDataset:
     ):
         self.store = store
         self.cfg = cfg
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
 
     def __len__(self) -> int:
         return len(self.store)
@@ -107,13 +107,22 @@ class WholeSceneDataset:
         counts_flat = counts.reshape(-1)
         offsets = np.concatenate([[0], np.cumsum(counts_flat)])
 
+        # per-SCENE deterministic stream (seed x scene id), not one dataset
+        # stream consumed in iteration order: a scene's resample draws are
+        # then independent of which scenes sit around it, so repeated
+        # get_scene calls are idempotent and a multi-host eval shard
+        # reproduces the single-process tiling exactly
+        # (tests/test_multihost.py asserts report equality)
+        import zlib
+
+        rng = np.random.default_rng((self.seed, zlib.crc32(sid.encode())))
         sels = []
         for col in range(nx * ny):
             cnt = counts_flat[col]
             if cnt == 0:
                 continue
             idx = members[offsets[col] : offsets[col] + cnt]
-            choice = self.rng.integers(0, cnt, size=cfg.npoints)
+            choice = rng.integers(0, cnt, size=cfg.npoints)
             sels.append(idx[choice])
         return feats_all, np.stack(sels)
 

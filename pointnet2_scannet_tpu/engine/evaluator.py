@@ -38,6 +38,48 @@ class SceneResult:
     miou_mask: np.ndarray
 
 
+def pack_scene_results(results: list[SceneResult], num_classes: int = NUM_CLASSES) -> np.ndarray:
+    """(n, 3 + 6C) float64 rows for cross-process exchange: each scene's
+    scalars + per-class vectors flattened (scene_ids travel separately —
+    the merged report only needs the numeric fields; see
+    ProcessContext.allgather_ragged + unpack_scene_results)."""
+    C = num_classes
+    rows = np.zeros((len(results), 3 + 6 * C), np.float64)
+    for i, r in enumerate(results):
+        rows[i, :3] = (r.point_acc, r.voxel_acc, r.voxel_cali_acc)
+        rows[i, 3:] = np.concatenate(
+            [r.point_acc_per_class, r.voxel_acc_per_class, r.point_miou,
+             r.voxel_miou, r.acc_mask, r.miou_mask]
+        )
+    return rows
+
+
+def unpack_scene_results(
+    rows: np.ndarray, scene_ids: list[str] | None = None,
+    num_classes: int = NUM_CLASSES,
+) -> list[SceneResult]:
+    """Inverse of pack_scene_results."""
+    C = num_classes
+    out = []
+    for i, row in enumerate(np.asarray(rows)):
+        v = row[3:].reshape(6, C)
+        out.append(
+            SceneResult(
+                scene_id=scene_ids[i] if scene_ids else f"scene{i:04d}",
+                point_acc=float(row[0]),
+                point_acc_per_class=v[0],
+                voxel_acc=float(row[1]),
+                voxel_acc_per_class=v[1],
+                voxel_cali_acc=float(row[2]),
+                point_miou=v[2],
+                voxel_miou=v[3],
+                acc_mask=v[4],
+                miou_mask=v[5],
+            )
+        )
+    return out
+
+
 @dataclasses.dataclass
 class EvalReport:
     """Global masked averages + per-class table (eval.py:194-221)."""

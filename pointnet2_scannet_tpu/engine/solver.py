@@ -292,6 +292,11 @@ class Solver:
         from pointnet2_scannet_tpu.engine.checkpoint import restore_checkpoint
 
         self.state, meta = restore_checkpoint(self.output_dir, name, self.state)
+        if self.ctx.num_processes > 1:
+            # every process restored the same host arrays from the
+            # coordinator's run dir (shared filesystem); re-replicate onto
+            # the global mesh so the step never sees host-local leaves
+            self.state = self.ctx.replicate(self.state, self.mesh)
         if meta.get("best"):
             self.best = meta["best"]
         start_epoch = int(meta.get("epoch", -1)) + 1

@@ -177,6 +177,29 @@ class ProcessContext:
 
         return np.asarray(multihost_utils.process_allgather(values)).sum(axis=0)
 
+    def allgather_ragged(self, rows: np.ndarray) -> np.ndarray:
+        """Concatenate per-process (n_p, D) row blocks over all processes in
+        process order — n_p may differ (pad-to-max under the hood; the
+        collective itself needs uniform shapes). Used to merge per-scene
+        eval results from independently-sized scene shards."""
+        rows = np.asarray(rows)
+        if self.num_processes == 1:
+            return rows
+        from jax.experimental import multihost_utils
+
+        counts = np.asarray(
+            multihost_utils.process_allgather(
+                np.array([rows.shape[0]], np.int64)
+            )
+        ).ravel()
+        m = int(counts.max())
+        padded = np.zeros((m,) + rows.shape[1:], rows.dtype)
+        padded[: rows.shape[0]] = rows
+        gathered = np.asarray(multihost_utils.process_allgather(padded))
+        return np.concatenate(
+            [gathered[p, : int(counts[p])] for p in range(self.num_processes)]
+        )
+
     def assert_uniform(self, value: int, name: str) -> None:
         """Fail fast if a per-process count that gates collectives (e.g.
         steps per epoch) differs across processes — a mismatch would deadlock

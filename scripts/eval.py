@@ -18,6 +18,15 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def evaluate(args) -> None:
+    # multi-host eval is embarrassingly parallel: no collectives in the
+    # forward, so each process evaluates its own scene shard on a LOCAL
+    # device mesh and the per-scene results merge once at the end
+    from pointnet2_scannet_tpu.parallel.distributed import initialize_distributed
+
+    ctx = initialize_distributed(
+        args.dist_coordinator, args.dist_nprocs, args.dist_pid
+    )
+
     from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -34,15 +43,30 @@ def evaluate(args) -> None:
 
     if args.synthetic:
         store = make_synthetic_store(args.synthetic_scenes, seed=1000)
+        if ctx.num_processes > 1:
+            # equalize=False: eval covers EVERY scene (no per-step
+            # collectives, so ragged shards can't deadlock anything)
+            store = store.shard(ctx.process_id, ctx.num_processes, equalize=False)
     else:
         scene_ids = [l.strip() for l in open(args.val_list or cfg.paths.val_list) if l.strip()]
         mv = cfg.paths.multiview_h5 if cfg.data.use_multiview else None
-        store = SceneStore.from_npy_dir(
-            scene_ids,
-            args.data_dir or cfg.paths.preprocessed_dir,
-            mv,
-            is_weighting=cfg.data.is_weighting,
-        )
+        if ctx.num_processes > 1:
+            store = SceneStore.from_npy_dir_sharded(
+                scene_ids,
+                args.data_dir or cfg.paths.preprocessed_dir,
+                mv,
+                process_id=ctx.process_id,
+                num_processes=ctx.num_processes,
+                is_weighting=cfg.data.is_weighting,
+                equalize=False,
+            )
+        else:
+            store = SceneStore.from_npy_dir(
+                scene_ids,
+                args.data_dir or cfg.paths.preprocessed_dir,
+                mv,
+                is_weighting=cfg.data.is_weighting,
+            )
 
     dataset = WholeSceneDataset(store, cfg.data, seed=0)
     import jax.numpy as jnp
@@ -62,17 +86,55 @@ def evaluate(args) -> None:
         batch_size=args.batch_size,
         ring_slots=args.eval_ring,
         queue_depth=args.eval_depth,
-        mesh=_eval_mesh(args),
+        mesh=_eval_mesh(args, ctx),
     )
-    report = evaluator.evaluate(dataset)
+    if ctx.num_processes > 1:
+        from pointnet2_scannet_tpu.engine.evaluator import (
+            pack_scene_results,
+            unpack_scene_results,
+        )
+
+        C = cfg.model.num_classes
+        local = (
+            evaluator.evaluate(dataset).scenes if len(store) > 0 else []
+        )
+        rows = ctx.allgather_ragged(
+            pack_scene_results(local, C).reshape(-1, 3 + 6 * C)
+        )
+        report = evaluator.aggregate(unpack_scene_results(rows, num_classes=C))
+        ctx.barrier("eval-merge")
+        if not ctx.is_coordinator:
+            return
+    else:
+        report = evaluator.evaluate(dataset)
     print()
     print(report.format_table())
     (run_dir / "eval_report.txt").write_text(report.format_table())
 
 
-def _eval_mesh(args):
+def _eval_mesh(args, ctx):
     from pointnet2_scannet_tpu.parallel.mesh import dp_mesh_or_none
 
+    if ctx.num_processes > 1:
+        # distributed eval: each process meshes over its LOCAL devices only
+        # (a global mesh would force cross-host collectives into a forward
+        # that has none)
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        k = getattr(args, "num_devices", None)
+        local = jax.local_devices()
+        if k in (None, 0, 1):
+            return None
+        while k > 1 and args.batch_size % k != 0:
+            k -= 1
+        if k > len(local):
+            raise SystemExit(
+                f"--num_devices {k} exceeds this process's "
+                f"{len(local)} local devices in distributed eval"
+            )
+        return Mesh(np.asarray(local[:k]), ("dp",))
     return dp_mesh_or_none(
         getattr(args, "num_devices", None), batch_size=args.batch_size
     )
@@ -101,8 +163,15 @@ def parse_args(argv=None):
         "--num_devices", type=int, default=None,
         help="data-parallel eval width: batch rows shard over a dp mesh, "
         "the scene ring replicates, and each device runs its own Pallas "
-        "geometry kernels on its row shard (1 = single device)",
+        "geometry kernels on its row shard (1 = single device); in "
+        "distributed eval this is PER-PROCESS (local devices)",
     )
+    # multi-host eval: scenes shard across processes (every scene covered —
+    # no equal-count truncation), each process evaluates independently on
+    # local devices, per-scene results merge at the end, coordinator prints
+    p.add_argument("--dist_coordinator", type=str, default=None)
+    p.add_argument("--dist_nprocs", type=int, default=1)
+    p.add_argument("--dist_pid", type=int, default=0)
     return p.parse_args(argv)
 
 

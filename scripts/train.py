@@ -54,12 +54,12 @@ def build_config(args) -> "RunConfig":
         ),
         train=TrainConfig(
             batch_size=args.batch_size,
-            epochs=args.epoch,
+            epochs=args.epoch if args.epoch is not None else 500,
             lr=args.lr,
             weight_decay=args.wd,
             decay_step=args.ds,
             decay_factor=args.df,
-            verbose=args.verbose,
+            verbose=args.verbose if args.verbose is not None else 10,
             seed=args.seed,
             no_weighting=args.no_weighting,
             num_devices=args.num_devices,
@@ -81,40 +81,58 @@ def make_stores(cfg, ctx):
     from pointnet2_scannet_tpu.data.scene_store import SceneStore
     from pointnet2_scannet_tpu.data.synthetic import make_synthetic_store
 
+    # multi-host chunked training: each process keeps a disjoint scene shard
+    # with the GLOBAL split's label weights. Whole-scene mode instead
+    # iterates every scene on every process and row-slices the micro-batches
+    # (WholeSceneSolver docstring), so it keeps full stores.
+    shard_stores = ctx.num_processes > 1 and not cfg.train.wholescene
+
     if cfg.train.synthetic:
         n = cfg.train.synthetic_scenes
         train_store = make_synthetic_store(n, seed=0)
         val_store = make_synthetic_store(max(n // 4, 1), seed=1000)
-    else:
-        train_ids = load_scene_list(cfg.paths.train_list)
-        val_ids = load_scene_list(cfg.paths.val_list)
-        if cfg.train.debug:
-            # the reference --debug trains and validates on one scene
-            # (scripts/train.py:72-74)
-            train_ids = train_ids[:1]
-            val_ids = train_ids
-        mv = cfg.paths.multiview_h5 if cfg.data.use_multiview else None
-        train_store = SceneStore.from_npy_dir(
-            train_ids, cfg.paths.preprocessed_dir, mv, is_weighting=cfg.data.is_weighting
+        if shard_stores:
+            _warn_dropped(ctx, len(train_store), "train")
+            _warn_dropped(ctx, len(val_store), "val")
+            train_store = train_store.shard(ctx.process_id, ctx.num_processes)
+            val_store = val_store.shard(ctx.process_id, ctx.num_processes)
+        return train_store, val_store
+
+    train_ids = load_scene_list(cfg.paths.train_list)
+    val_ids = load_scene_list(cfg.paths.val_list)
+    if cfg.train.debug:
+        # the reference --debug trains and validates on one scene
+        # (scripts/train.py:72-74)
+        train_ids = train_ids[:1]
+        val_ids = train_ids
+    mv = cfg.paths.multiview_h5 if cfg.data.use_multiview else None
+    if shard_stores:
+        # load only this process's shard into RAM; weights stream over the
+        # whole split's label columns (SceneStore.from_npy_dir_sharded)
+        _warn_dropped(ctx, len(train_ids), "train")
+        _warn_dropped(ctx, len(val_ids), "val")
+        make = lambda ids: SceneStore.from_npy_dir_sharded(  # noqa: E731
+            ids, cfg.paths.preprocessed_dir, mv,
+            process_id=ctx.process_id, num_processes=ctx.num_processes,
+            is_weighting=cfg.data.is_weighting,
         )
-        val_store = SceneStore.from_npy_dir(
-            val_ids, cfg.paths.preprocessed_dir, mv, is_weighting=cfg.data.is_weighting
-        )
-    # multi-host chunked training: each process keeps a disjoint scene shard
-    # (label weights stay the GLOBAL split's — SceneStore.shard). Whole-scene
-    # mode instead iterates every scene on every process and row-slices the
-    # micro-batches (WholeSceneSolver docstring).
-    if ctx.num_processes > 1 and not cfg.train.wholescene:
-        for store, name in ((train_store, "train"), (val_store, "val")):
-            if ctx.is_coordinator and len(store) % ctx.num_processes:
-                print(
-                    f"multi-host: dropping {len(store) % ctx.num_processes} "
-                    f"trailing {name} scene(s) to equalize per-process shards",
-                    flush=True,
-                )
-        train_store = train_store.shard(ctx.process_id, ctx.num_processes)
-        val_store = val_store.shard(ctx.process_id, ctx.num_processes)
+        return make(train_ids), make(val_ids)
+    train_store = SceneStore.from_npy_dir(
+        train_ids, cfg.paths.preprocessed_dir, mv, is_weighting=cfg.data.is_weighting
+    )
+    val_store = SceneStore.from_npy_dir(
+        val_ids, cfg.paths.preprocessed_dir, mv, is_weighting=cfg.data.is_weighting
+    )
     return train_store, val_store
+
+
+def _warn_dropped(ctx, count: int, name: str) -> None:
+    if ctx.is_coordinator and count % ctx.num_processes:
+        print(
+            f"multi-host: dropping {count % ctx.num_processes} trailing "
+            f"{name} scene(s) to equalize per-process shards",
+            flush=True,
+        )
 
 
 def train(args) -> None:
@@ -158,6 +176,21 @@ def train(args) -> None:
                     f"--{flag} passed but the resumed run was not a "
                     f"{flag} run (config.json disagrees)"
                 )
+        # EXECUTION flags may be overridden at the resume CLI (same rule as
+        # the shape trainers): --epoch EXTENDS the run, --verbose /
+        # --num_devices adapt to the resuming host; the model/data/optimizer
+        # recipe always comes from the saved config
+        import dataclasses as _dc
+
+        overrides = {}
+        if args.num_devices is not None:
+            overrides["num_devices"] = args.num_devices
+        if args.verbose is not None:
+            overrides["verbose"] = args.verbose
+        if args.epoch is not None:
+            overrides["epochs"] = max(args.epoch, cfg.train.epochs)
+        if overrides:
+            cfg = _dc.replace(cfg, train=_dc.replace(cfg.train, **overrides))
     else:
         cfg = build_config(args)
         stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
@@ -239,8 +272,15 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--tag", type=str, default="", help="run tag for the output dir")
     p.add_argument("--batch_size", type=int, default=32)
-    p.add_argument("--epoch", type=int, default=500)
-    p.add_argument("--verbose", type=int, default=10, help="iters between reports")
+    p.add_argument(
+        "--epoch", type=int, default=None,
+        help="epochs to train (default 500); at --resume, EXTENDS the run "
+        "past its saved epoch count",
+    )
+    p.add_argument(
+        "--verbose", type=int, default=None,
+        help="iters between reports (default 10; overridable at --resume)",
+    )
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--wd", type=float, default=0.0)
     p.add_argument("--ds", type=int, default=100, help="lr decay step (epochs)")

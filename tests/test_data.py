@@ -310,3 +310,50 @@ class TestVirtualScan:
         xyz = rng.uniform(-0.1, 0.0, size=(500, 3)) - [50, 0, 0]
         idx = virtual_scan(xyz, mode=4)  # looking along -x from mean-based cam
         assert idx.shape[0] == 0 or idx.shape[0] >= 100
+
+
+class TestShardedStore:
+    """Multi-host data layer: SceneStore.shard / from_npy_dir_sharded keep
+    the GLOBAL split's label weights while holding only this process's
+    scenes (parallel/distributed.py contract)."""
+
+    def _npy_dir(self, tmp_path, n=5):
+        from pointnet2_scannet_tpu.data.synthetic import make_synthetic_scene
+
+        npy_dir = tmp_path / "scenes"
+        npy_dir.mkdir()
+        ids = []
+        for i in range(n):
+            sid = f"synth{i:04d}_00"
+            np.save(npy_dir / f"{sid}.npy", make_synthetic_scene(i, n_points=6000))
+            ids.append(sid)
+        return npy_dir, ids
+
+    def test_sharded_loader_matches_full_weights(self, tmp_path):
+        from pointnet2_scannet_tpu.data.scene_store import SceneStore
+
+        npy_dir, ids = self._npy_dir(tmp_path)
+        full = SceneStore.from_npy_dir(ids, npy_dir)
+        shards = [
+            SceneStore.from_npy_dir_sharded(
+                ids, npy_dir, process_id=p, num_processes=2
+            )
+            for p in range(2)
+        ]
+        # disjoint equal shards (5 -> 2+2, one dropped), only shard scenes
+        # resident, and bit-identical GLOBAL weights on every process
+        assert [len(s) for s in shards] == [2, 2]
+        assert not set(shards[0].scene_ids) & set(shards[1].scene_ids)
+        for s in shards:
+            assert set(s.scenes) == set(s.scene_ids)
+            np.testing.assert_array_equal(s.label_weights, full.label_weights)
+
+    def test_store_shard_preserves_weights(self, tmp_path):
+        from pointnet2_scannet_tpu.data.scene_store import SceneStore
+
+        npy_dir, ids = self._npy_dir(tmp_path, n=4)
+        full = SceneStore.from_npy_dir(ids, npy_dir)
+        sub = full.shard(1, 2)
+        assert sub.scene_ids == ids[1::2]
+        np.testing.assert_array_equal(sub.label_weights, full.label_weights)
+        assert full.shard(0, 1) is full  # single-process no-op

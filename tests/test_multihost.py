@@ -181,3 +181,83 @@ class TestDistributedTrainCLI:
             assert all(np.isfinite(v) for v in vals), (tag, vals)
         # the non-coordinator stayed silent on per-iter reports
         assert "epoch [1/2]" not in out1
+
+        # distributed RESUME: every process restores from the COORDINATOR's
+        # run dir (shared filesystem) and re-replicates onto the global mesh
+        coord2 = f"127.0.0.1:{free_port()}"
+        procs = [
+            launch(
+                "scripts/train.py",
+                ["--resume", str(run), "--synthetic", "--epoch", "3",
+                 "--dist_coordinator", coord2, "--dist_nprocs", "2",
+                 "--dist_pid", str(p)],
+            )
+            for p in range(2)
+        ]
+        (rout0, _), _ = join_all(procs, timeout=1200)
+        assert "(from epoch 2)" in rout0, rout0[-2000:]
+        meta = json.loads((run / "model_last.meta.json").read_text())
+        assert meta["epoch"] == 2  # epochs 0,1 trained above, epoch 2 resumed
+        scalars = json.loads(
+            (run / "tensorboard" / "all_scalars.json").read_text()
+        )
+        # the resumed epoch logged at its true global epoch index
+        assert any(step == 2 for step, _ in scalars["train/loss"]), scalars
+
+
+class TestDistributedEvalCLI:
+    def test_distributed_eval_matches_single_process(self, tmp_path):
+        """Multi-host whole-scene eval: scenes shard RAGGED across processes
+        (3 scenes -> 2+1, every scene covered), each process evaluates
+        independently, per-scene results merge via allgather_ragged — and
+        the merged report equals the single-process report on the same
+        scenes (the forward is deterministic; only float summation order in
+        the final masked means can differ)."""
+        # a checkpoint to evaluate: 0-epoch run = saved random init, no
+        # train-step compile
+        p = launch(
+            "scripts/train.py",
+            ["--synthetic", "--synthetic_scenes", "2", "--batch_size", "2",
+             "--epoch", "0", "--npoints", "1024",
+             "--output_root", str(tmp_path / "run")],
+            local_devices=1,
+        )
+        join_all([p], timeout=600)
+        run = next((tmp_path / "run").iterdir())
+
+        eval_common = [
+            "--folder", str(run), "--checkpoint", "model_last",
+            "--synthetic", "--synthetic_scenes", "3", "--batch_size", "8",
+        ]
+        # single-process reference report
+        p = launch("scripts/eval.py", list(eval_common), local_devices=4)
+        (sout, _), = join_all([p], timeout=900)
+
+        coord = f"127.0.0.1:{free_port()}"
+        procs = [
+            launch(
+                "scripts/eval.py",
+                eval_common + ["--dist_coordinator", coord,
+                               "--dist_nprocs", "2", "--dist_pid", str(q)],
+            )
+            for q in range(2)
+        ]
+        (dout0, _), (dout1, _) = join_all(procs, timeout=900)
+
+        def headline(text):
+            out = {}
+            for line in text.splitlines():
+                for key in ("Point accuracy:", "Voxel accuracy:",
+                            "Point mIoU:", "Voxel mIoU:",
+                            "Calibrated voxel accuracy:"):
+                    if line.startswith(key):
+                        out[key] = float(line.split(":")[1])
+            return out
+
+        ref, dist = headline(sout), headline(dout0)
+        assert set(ref) == set(dist) and len(ref) == 5, (ref, dist)
+        for k in ref:
+            np.testing.assert_allclose(dist[k], ref[k], rtol=1e-6, err_msg=k)
+        assert "Voxel mIoU" not in dout1  # coordinator-only report
+        # each process printed progress for ITS scenes (2 + 1 split)
+        assert dout0.count("point_acc") >= 2 and dout1.count("point_acc") >= 1
