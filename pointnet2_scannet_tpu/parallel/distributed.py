@@ -229,11 +229,21 @@ def initialize_distributed(
     coordinator_address: str | None,
     num_processes: int = 1,
     process_id: int = 0,
+    *,
+    auto: bool = False,
 ) -> ProcessContext:
     """Join a multi-process run. Call BEFORE any other jax API touches
     devices (jax.distributed.initialize's own requirement); afterwards
     jax.devices() lists every process's devices. num_processes <= 1 is the
-    ordinary single-process case and initializes nothing."""
+    ordinary single-process case and initializes nothing.
+
+    auto: let jax discover coordinator/count/id from the runtime (TPU pod
+    metadata, SLURM, etc. — jax.distributed.initialize with no arguments);
+    the explicit flags are for environments without such metadata (and for
+    the CPU-backend process tests)."""
+    if auto:
+        jax.distributed.initialize()
+        return ProcessContext(jax.process_index(), jax.process_count())
     if num_processes <= 1:
         return ProcessContext.single()
     if not coordinator_address:

@@ -24,7 +24,8 @@ def evaluate(args) -> None:
     from pointnet2_scannet_tpu.parallel.distributed import initialize_distributed
 
     ctx = initialize_distributed(
-        args.dist_coordinator, args.dist_nprocs, args.dist_pid
+        args.dist_coordinator, args.dist_nprocs, args.dist_pid,
+        auto=args.dist_auto,
     )
 
     from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
@@ -172,6 +173,11 @@ def parse_args(argv=None):
     p.add_argument("--dist_coordinator", type=str, default=None)
     p.add_argument("--dist_nprocs", type=int, default=1)
     p.add_argument("--dist_pid", type=int, default=0)
+    p.add_argument(
+        "--dist_auto", action="store_true",
+        help="discover coordinator/count/id from the runtime (TPU pod "
+        "metadata, SLURM) instead of the explicit --dist_* flags",
+    )
     return p.parse_args(argv)
 
 

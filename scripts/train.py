@@ -141,7 +141,8 @@ def train(args) -> None:
     from pointnet2_scannet_tpu.parallel.distributed import initialize_distributed
 
     ctx = initialize_distributed(
-        args.dist_coordinator, args.dist_nprocs, args.dist_pid
+        args.dist_coordinator, args.dist_nprocs, args.dist_pid,
+        auto=args.dist_auto,
     )
     if ctx.num_processes > 1 and args.num_devices is not None:
         raise SystemExit(
@@ -342,6 +343,11 @@ def parse_args(argv=None):
     p.add_argument(
         "--dist_pid", type=int, default=0,
         help="this process's id in [0, dist_nprocs)",
+    )
+    p.add_argument(
+        "--dist_auto", action="store_true",
+        help="discover coordinator/count/id from the runtime (TPU pod "
+        "metadata, SLURM) instead of the explicit --dist_* flags",
     )
     return p.parse_args(argv)
 
