@@ -26,6 +26,27 @@ import numpy as np
 
 
 def train(args) -> None:
+    # multi-host: join the process group before anything touches devices;
+    # the dp mesh then spans every host (same pattern as scripts/train.py)
+    from pointnet2_scannet_tpu.parallel.distributed import initialize_distributed
+
+    ctx = initialize_distributed(
+        args.dist_coordinator, args.dist_nprocs, args.dist_pid,
+        auto=args.dist_auto,
+    )
+    if ctx.num_processes > 1:
+        if args.num_devices is not None:
+            raise SystemExit(
+                "--num_devices cannot be combined with multi-host flags "
+                "(the mesh must span every process's devices)"
+            )
+        if args.batch_size % ctx.num_processes:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} not divisible by "
+                f"{ctx.num_processes} processes"
+            )
+    say = print if ctx.is_coordinator else (lambda *a, **k: None)
+
     from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -90,7 +111,8 @@ def train(args) -> None:
     if args.epoch is None:
         args.epoch = 20
     if args.num_devices is None:
-        args.num_devices = 1
+        # multi-host: None -> every GLOBAL device; single-process: 1 device
+        args.num_devices = None if ctx.num_processes > 1 else 1
     if args.verbose is None:
         args.verbose = 0
 
@@ -114,9 +136,26 @@ def train(args) -> None:
     )
     state = create_train_state(model, jax.random.key(args.seed), sample, tx)
 
+    if ctx.num_processes > 1:
+        state = ctx.replicate(state, mesh)
+
     train_step = make_shardmap_train_step(mesh, num_classes=num_parts)
     eval_step = make_shardmap_eval_step(mesh, num_classes=num_parts)
     strategy = f"shard_map dp={mesh.size}" if mesh.size > 1 else "single-device"
+    if ctx.num_processes > 1:
+        strategy += f" x {ctx.num_processes} processes"
+    # per-process rows of the global batch: train streams are disjoint per
+    # process (seed folds the pid); the fixed val set stays GLOBAL — every
+    # process builds the same batches and feeds its row-slice
+    local_b = args.batch_size // ctx.num_processes
+    place_train = (
+        (lambda b: ctx.place(b, mesh)) if ctx.num_processes > 1 else (lambda b: b)
+    )
+    place_val = (
+        (lambda b: ctx.place_from_global(b, mesh))
+        if ctx.num_processes > 1
+        else (lambda b: b)
+    )
 
     if resume_dir is not None:
         output_dir = resume_dir  # continue in place
@@ -125,7 +164,8 @@ def train(args) -> None:
         if args.tag:
             stamp += "_" + args.tag.upper()
         output_dir = pathlib.Path(args.output_root) / stamp
-        output_dir.mkdir(parents=True, exist_ok=True)
+        if ctx.is_coordinator:
+            output_dir.mkdir(parents=True, exist_ok=True)
     config_json = json.dumps(
         {
             **vars(args),
@@ -135,17 +175,20 @@ def train(args) -> None:
         indent=2,
         default=str,
     )
-    (output_dir / "config.json").write_text(config_json)
-    info = {
-        "parallel": strategy,
-        "num_params": int(
-            sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(state.params))
-        ),
-    }
-    (output_dir / "info.json").write_text(json.dumps(info, indent=2))
-    print(f"parallel strategy: {strategy}; training -> {output_dir}")
+    if ctx.is_coordinator:
+        (output_dir / "config.json").write_text(config_json)
+        info = {
+            "parallel": strategy,
+            "num_params": int(
+                sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(state.params))
+            ),
+        }
+        (output_dir / "info.json").write_text(json.dumps(info, indent=2))
+    say(f"parallel strategy: {strategy}; training -> {output_dir}")
 
-    rng = np.random.default_rng(args.seed)
+    rng = np.random.default_rng(
+        [args.seed, ctx.process_id] if ctx.num_processes > 1 else args.seed
+    )
     val_rng = np.random.default_rng(args.seed + 10_000)
     val_batches = [
         sample_partseg_batch(
@@ -154,6 +197,8 @@ def train(args) -> None:
         for _ in range(args.val_batches)
     ]
     dropout_key = jax.random.key(args.seed + 1)
+    if ctx.num_processes > 1:
+        dropout_key = ctx.replicate(dropout_key, mesh)
 
     offsets = part_offsets(num_categories)
     sizes = part_sizes(num_categories)
@@ -172,10 +217,16 @@ def train(args) -> None:
                 .get("best", {})
                 .get("val_part_miou", -1.0)
             )
+        if ctx.num_processes > 1:
+            state = ctx.replicate(state, mesh)
         # fresh-but-deterministic train stream: don't replay the run's first
         # epochs' batches (the val set above stays the run's original one)
-        rng = np.random.default_rng([args.seed, start_epoch])
-        print(
+        rng = np.random.default_rng(
+            [args.seed, start_epoch, ctx.process_id]
+            if ctx.num_processes > 1
+            else [args.seed, start_epoch]
+        )
+        say(
             f"resumed at epoch {start_epoch} (step {int(state.step)}, "
             f"best val part mIoU {best_miou:.4f}); training to epoch {args.epoch}"
         )
@@ -183,23 +234,25 @@ def train(args) -> None:
     for epoch in range(start_epoch, args.epoch):
         losses = []
         for it in range(args.train_batches):
-            batch = sample_partseg_batch(
-                rng, args.batch_size, args.npoints, num_categories
+            batch = place_train(
+                sample_partseg_batch(rng, local_b, args.npoints, num_categories)
             )
             state, stats = train_step(state, batch, dropout_key)
             losses.append(float(stats["loss"]))
             if args.verbose and (it + 1) % args.verbose == 0:
-                print(
+                say(
                     f"epoch {epoch + 1} iter {it + 1}/{args.train_batches} "
                     f"loss {losses[-1]:.4f}"
                 )
         cm = np.zeros((num_parts, num_parts), np.int64)
         cat_ious: dict[int, list[float]] = {}
         for batch in val_batches:
-            out = eval_step(state, batch)
+            out = eval_step(state, place_val(batch))
             cm += np.asarray(out["confusion"], np.int64)
+            # instance mIoU is a host metric over EVERY shape of the global
+            # val batch; preds come back dp-sharded, so gather the full rows
             _, per_cat = instance_part_miou(
-                np.asarray(out["preds"]), batch["labels"], batch["category"],
+                ctx.all_rows(out["preds"]), batch["labels"], batch["category"],
                 offsets, sizes,
             )
             for c, v in per_cat.items():
@@ -224,29 +277,32 @@ def train(args) -> None:
                 "val_cat_miou": cat_miou,
             }
         )
-        print(
+        say(
             f"epoch {epoch + 1}/{args.epoch}: train loss {np.mean(losses):.4f}, "
             f"val acc {m['point_acc']:.4f}, part mIoU {m['point_miou']:.4f}, "
             f"ins mIoU {ins_miou:.4f}, cat mIoU {cat_miou:.4f} "
             f"({time.time() - t0:.1f}s)"
         )
-        save_checkpoint(
-            output_dir, "model_last", state, epoch=epoch, config_json=config_json
-        )
-        # written alongside model_last every epoch so a crash-resumed run
-        # keeps its full training history
-        (output_dir / "all_scalars.json").write_text(json.dumps(scalars, indent=2))
+        if ctx.is_coordinator:
+            save_checkpoint(
+                output_dir, "model_last", state, epoch=epoch, config_json=config_json
+            )
+            # written alongside model_last every epoch so a crash-resumed run
+            # keeps its full training history
+            (output_dir / "all_scalars.json").write_text(json.dumps(scalars, indent=2))
         if m["point_miou"] > best_miou:
             best_miou = m["point_miou"]
-            save_checkpoint(
-                output_dir,
-                "model_best",
-                state,
-                epoch=epoch,
-                best={"val_part_miou": m["point_miou"]},
-                config_json=config_json,
-            )
-    print(f"best val part mIoU: {best_miou:.4f}")
+            if ctx.is_coordinator:
+                save_checkpoint(
+                    output_dir,
+                    "model_best",
+                    state,
+                    epoch=epoch,
+                    best={"val_part_miou": m["point_miou"]},
+                    config_json=config_json,
+                )
+    ctx.barrier("train-partseg-end")
+    say(f"best val part mIoU: {best_miou:.4f}")
 
 
 def parse_args(argv=None):
@@ -290,6 +346,12 @@ def parse_args(argv=None):
         help="run dir to continue in place (flags rehydrated from its "
         "config.json; --epoch may extend the run)",
     )
+    # multi-host (same semantics as scripts/train.py): per-process train
+    # batch shards, global fixed val set, coordinator-gated writes
+    p.add_argument("--dist_coordinator", type=str, default=None)
+    p.add_argument("--dist_nprocs", type=int, default=1)
+    p.add_argument("--dist_pid", type=int, default=0)
+    p.add_argument("--dist_auto", action="store_true")
     return p.parse_args(argv)
 
 

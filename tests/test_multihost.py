@@ -142,15 +142,18 @@ class TestDistributedStepAgreement:
 class TestDistributedTrainCLI:
     def test_full_train_cli_two_processes(self, tmp_path):
         """The COMPLETE training CLI across 2 processes on synthetic scenes:
-        scene-shard loading, global-batch assembly, shard_map dp step, padded
-        distributed validation with cross-process voxel-metric aggregation,
-        coordinator-only checkpoint/log writes."""
+        scene-shard loading, global-batch assembly, FUSED (K=2 lax.scan)
+        shard_map dp steps, padded distributed validation with cross-process
+        voxel-metric aggregation, coordinator-only checkpoint/log writes.
+        16 scenes / 2 procs / local batch 4 -> 2 steps/epoch = one full
+        fused group, so the production dispatch path (fused_steps > 1) runs
+        cross-process, not just the per-batch fallback."""
         coord = f"127.0.0.1:{free_port()}"
         out_roots = [tmp_path / f"out{p}" for p in range(2)]
         common = [
-            "--synthetic", "--synthetic_scenes", "8", "--batch_size", "8",
+            "--synthetic", "--synthetic_scenes", "16", "--batch_size", "8",
             "--epoch", "2", "--npoints", "1024", "--verbose", "1",
-            "--fused_steps", "1", "--dist_coordinator", coord,
+            "--fused_steps", "2", "--dist_coordinator", coord,
             "--dist_nprocs", "2",
         ]
         procs = [
@@ -261,3 +264,58 @@ class TestDistributedEvalCLI:
         assert "Voxel mIoU" not in dout1  # coordinator-only report
         # each process printed progress for ITS scenes (2 + 1 split)
         assert dout0.count("point_acc") >= 2 and dout1.count("point_acc") >= 1
+
+
+class TestDistributedShapeTrainers:
+    """The beyond-reference shape families scale with the same multi-host
+    pattern: per-process train batch shards (pid-folded seeds), a GLOBAL
+    fixed val set row-sliced per process, coordinator-gated writes."""
+
+    def test_cls_trainer_two_processes(self, tmp_path):
+        coord = f"127.0.0.1:{free_port()}"
+        roots = [tmp_path / f"cls{p}" for p in range(2)]
+        common = [
+            "--epoch", "1", "--batch_size", "8", "--npoints", "1024",
+            "--train_batches", "2", "--val_batches", "1", "--classes", "4",
+            "--verbose", "1", "--dist_coordinator", coord, "--dist_nprocs", "2",
+        ]
+        procs = [
+            launch(
+                "scripts/train_cls.py",
+                common + ["--dist_pid", str(p), "--output_root", str(roots[p])],
+            )
+            for p in range(2)
+        ]
+        (out0, _), (out1, _) = join_all(procs, timeout=1200)
+        assert "shard_map dp=8 x 2 processes" in out0
+        assert "best val acc:" in out0 and "best val acc:" not in out1
+        runs = list(roots[0].iterdir())
+        assert len(runs) == 1
+        assert not roots[1].exists() or not list(roots[1].iterdir())
+        scalars = json.loads((runs[0] / "all_scalars.json").read_text())
+        assert len(scalars) == 1 and np.isfinite(scalars[0]["val_acc"])
+
+    def test_partseg_trainer_two_processes(self, tmp_path):
+        coord = f"127.0.0.1:{free_port()}"
+        roots = [tmp_path / f"ps{p}" for p in range(2)]
+        common = [
+            "--epoch", "1", "--batch_size", "8", "--npoints", "1024",
+            "--train_batches", "2", "--val_batches", "1", "--categories", "2",
+            "--dist_coordinator", coord, "--dist_nprocs", "2",
+        ]
+        procs = [
+            launch(
+                "scripts/train_partseg.py",
+                common + ["--dist_pid", str(p), "--output_root", str(roots[p])],
+            )
+            for p in range(2)
+        ]
+        (out0, _), (out1, _) = join_all(procs, timeout=1200)
+        assert "shard_map dp=8 x 2 processes" in out0
+        assert "best val part mIoU:" in out0
+        runs = list(roots[0].iterdir())
+        assert len(runs) == 1
+        scalars = json.loads((runs[0] / "all_scalars.json").read_text())
+        # ins/cat mIoU come from the gathered full-batch preds (all_rows)
+        assert np.isfinite(scalars[0]["val_ins_miou"])
+        assert np.isfinite(scalars[0]["val_cat_miou"])
