@@ -17,6 +17,17 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def visualize(args) -> None:
+    # multi-host: like distributed eval, visualization is embarrassingly
+    # parallel — scenes shard RAGGED across processes and each process
+    # writes ITS scenes' PLYs (outputs are per-scene files, so no write
+    # gating or merge is needed; the preds/ dir is shared)
+    from pointnet2_scannet_tpu.parallel.distributed import initialize_distributed
+
+    ctx = initialize_distributed(
+        args.dist_coordinator, args.dist_nprocs, args.dist_pid,
+        auto=args.dist_auto,
+    )
+
     from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -35,15 +46,24 @@ def visualize(args) -> None:
 
     if args.synthetic:
         store = make_synthetic_store(1, seed=1000)
+        if ctx.num_processes > 1:
+            store = store.shard(ctx.process_id, ctx.num_processes, equalize=False)
     else:
         scene_ids = [args.scene_id] if args.scene_id else [
             l.strip() for l in open(cfg.paths.val_list) if l.strip()
         ]
         mv = cfg.paths.multiview_h5 if cfg.data.use_multiview else None
-        store = SceneStore.from_npy_dir(
-            scene_ids, args.data_dir or cfg.paths.preprocessed_dir, mv,
-            is_weighting=cfg.data.is_weighting,
-        )
+        if ctx.num_processes > 1:
+            store = SceneStore.from_npy_dir_sharded(
+                scene_ids, args.data_dir or cfg.paths.preprocessed_dir, mv,
+                process_id=ctx.process_id, num_processes=ctx.num_processes,
+                is_weighting=cfg.data.is_weighting, equalize=False,
+            )
+        else:
+            store = SceneStore.from_npy_dir(
+                scene_ids, args.data_dir or cfg.paths.preprocessed_dir, mv,
+                is_weighting=cfg.data.is_weighting,
+            )
 
     dataset = WholeSceneDataset(store, cfg.data, seed=0)
     import jax.numpy as jnp
@@ -60,7 +80,7 @@ def visualize(args) -> None:
     evaluator = WholeSceneEvaluator(
         model.apply, variables, batch_size=args.batch_size,
         ring_slots=args.eval_ring, queue_depth=args.eval_depth,
-        mesh=_eval_mesh(args),
+        mesh=_eval_mesh(args, ctx),
     )
 
     preds_dir = run_dir / "preds"
@@ -77,11 +97,29 @@ def visualize(args) -> None:
         out = preds_dir / f"{scene_id}.ply"
         write_ply_points(out, coords_u, colors)
         print(f"wrote {out} ({len(coords_u)} points)")
+    ctx.barrier("visualize-end")
 
 
-def _eval_mesh(args):
+def _eval_mesh(args, ctx):
     from pointnet2_scannet_tpu.parallel.mesh import dp_mesh_or_none
 
+    if ctx.num_processes > 1:
+        # per-process LOCAL device mesh, same rationale as scripts/eval.py
+        import jax
+        from jax.sharding import Mesh
+
+        k = getattr(args, "num_devices", None)
+        if k in (None, 0, 1):
+            return None
+        while k > 1 and args.batch_size % k != 0:
+            k -= 1
+        local = jax.local_devices()
+        if k > len(local):
+            raise SystemExit(
+                f"--num_devices {k} exceeds this process's "
+                f"{len(local)} local devices in distributed visualize"
+            )
+        return Mesh(np.asarray(local[:k]), ("dp",))
     return dp_mesh_or_none(
         getattr(args, "num_devices", None), batch_size=args.batch_size
     )
@@ -102,6 +140,11 @@ def parse_args(argv=None):
                    "dp mesh; 1 = single device)")
     p.add_argument("--eval_depth", type=int, default=2,
                    help="in-flight device batches in the async queue")
+    # multi-host: ragged scene shards; each process writes its scenes' PLYs
+    p.add_argument("--dist_coordinator", type=str, default=None)
+    p.add_argument("--dist_nprocs", type=int, default=1)
+    p.add_argument("--dist_pid", type=int, default=0)
+    p.add_argument("--dist_auto", action="store_true")
     return p.parse_args(argv)
 
 

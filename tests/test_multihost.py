@@ -319,3 +319,102 @@ class TestDistributedShapeTrainers:
         # ins/cat mIoU come from the gathered full-batch preds (all_rows)
         assert np.isfinite(scalars[0]["val_ins_miou"])
         assert np.isfinite(scalars[0]["val_cat_miou"])
+
+
+class TestProcessContextUnit:
+    """Single-process identity semantics + shard math (no subprocesses)."""
+
+    def test_shard_list_striding_and_truncation(self):
+        from pointnet2_scannet_tpu.parallel import ProcessContext
+
+        items = list(range(7))
+        shards = [ProcessContext(p, 3).shard_list(items) for p in range(3)]
+        assert shards == [[0, 3], [1, 4], [2, 5]]  # 7 -> 2 each, item 6 dropped
+        assert ProcessContext.single().shard_list(items) == items
+
+    def test_single_process_identities(self):
+        import jax
+        from pointnet2_scannet_tpu.parallel import ProcessContext, make_mesh
+
+        ctx = ProcessContext.single()
+        mesh = make_mesh(8)
+        batch = {"x": np.arange(16, dtype=np.float32).reshape(8, 2)}
+        placed = ctx.place(batch, mesh)
+        np.testing.assert_array_equal(ctx.local_rows(placed["x"]), batch["x"])
+        np.testing.assert_array_equal(ctx.all_rows(placed["x"]), batch["x"])
+        # placement actually sharded rows over the mesh
+        assert len(placed["x"].sharding.device_set) == 8
+        g = ctx.place_from_global(batch, mesh)
+        np.testing.assert_array_equal(np.asarray(g["x"]), batch["x"])
+        v = np.array([1.0, 2.0])
+        np.testing.assert_array_equal(ctx.sum_across_processes(v), v)
+        rows = np.ones((3, 4))
+        np.testing.assert_array_equal(ctx.allgather_ragged(rows), rows)
+        ctx.assert_uniform(5, "steps")  # no-op
+        ctx.barrier("noop")
+
+    def test_pack_unpack_scene_results_roundtrip(self):
+        from pointnet2_scannet_tpu.engine.evaluator import (
+            SceneResult,
+            pack_scene_results,
+            unpack_scene_results,
+        )
+
+        rng = np.random.default_rng(0)
+        C = 20
+        results = [
+            SceneResult(
+                scene_id=f"s{i}",
+                point_acc=float(rng.uniform()),
+                point_acc_per_class=rng.uniform(size=C),
+                voxel_acc=float(rng.uniform()),
+                voxel_acc_per_class=rng.uniform(size=C),
+                voxel_cali_acc=float(rng.uniform()),
+                point_miou=rng.uniform(size=C),
+                voxel_miou=rng.uniform(size=C),
+                acc_mask=(rng.uniform(size=C) > 0.5).astype(np.float64),
+                miou_mask=(rng.uniform(size=C) > 0.5).astype(np.float64),
+            )
+            for i in range(3)
+        ]
+        back = unpack_scene_results(pack_scene_results(results))
+        for a, b in zip(results, back):
+            for f in ("point_acc", "voxel_acc", "voxel_cali_acc"):
+                assert getattr(a, f) == getattr(b, f)
+            for f in ("point_acc_per_class", "voxel_acc_per_class",
+                      "point_miou", "voxel_miou", "acc_mask", "miou_mask"):
+                np.testing.assert_array_equal(getattr(a, f), getattr(b, f))
+        assert unpack_scene_results(pack_scene_results([])) == []
+
+
+class TestDistributedVisualizeCLI:
+    def test_two_process_visualize_covers_empty_shard(self, tmp_path):
+        """Distributed visualize: 1 synthetic scene over 2 processes —
+        process 0 writes the PLY, process 1 has an EMPTY shard and must
+        still exit cleanly through the end barrier (the empty-shard path is
+        exactly what a pod run with scenes % hosts != 0 hits)."""
+        p = launch(
+            "scripts/train.py",
+            ["--synthetic", "--synthetic_scenes", "2", "--batch_size", "2",
+             "--epoch", "0", "--npoints", "1024",
+             "--output_root", str(tmp_path / "run")],
+            local_devices=1,
+        )
+        join_all([p], timeout=600)
+        run = next((tmp_path / "run").iterdir())
+
+        coord = f"127.0.0.1:{free_port()}"
+        procs = [
+            launch(
+                "scripts/visualize.py",
+                ["--folder", str(run), "--checkpoint", "model_last",
+                 "--synthetic", "--batch_size", "8",
+                 "--dist_coordinator", coord, "--dist_nprocs", "2",
+                 "--dist_pid", str(q)],
+            )
+            for q in range(2)
+        ]
+        (out0, _), (out1, _) = join_all(procs, timeout=900)
+        plys = list((run / "preds").glob("*.ply"))
+        assert len(plys) == 1, plys
+        assert "wrote" in out0 and "wrote" not in out1
