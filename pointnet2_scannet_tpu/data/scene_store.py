@@ -24,18 +24,29 @@ import numpy as np
 from pointnet2_scannet_tpu.config import NUM_CLASSES
 
 
-def compute_label_weights(
-    labels_per_scene, num_classes: int = NUM_CLASSES
-) -> np.ndarray:
-    """Inverse-log-frequency class weights: 1/log(1.2 + freq)
-    (lib/dataset.py:48-56). Accepts any iterable of per-scene label arrays
-    (including a generator of mmap'd columns — see from_npy_dir_sharded)."""
+def label_counts(labels_per_scene, num_classes: int = NUM_CLASSES) -> np.ndarray:
+    """Per-class label histogram over an iterable of per-scene label arrays
+    (generators of mmap'd columns work — one scene resident at a time)."""
     counts = np.zeros(num_classes, np.float64)
     for seg in labels_per_scene:
         tmp, _ = np.histogram(seg, bins=range(num_classes + 1))
         counts += tmp
+    return counts
+
+
+def weights_from_counts(counts: np.ndarray) -> np.ndarray:
+    """Inverse-log-frequency class weights: 1/log(1.2 + freq)
+    (lib/dataset.py:48-56)."""
     freq = counts.astype(np.float32) / max(counts.sum(), 1.0)
     return (1.0 / np.log(1.2 + freq)).astype(np.float32)
+
+
+def compute_label_weights(
+    labels_per_scene, num_classes: int = NUM_CLASSES
+) -> np.ndarray:
+    """Inverse-log-frequency class weights over a whole split
+    (lib/dataset.py:48-56)."""
+    return weights_from_counts(label_counts(labels_per_scene, num_classes))
 
 
 def assemble_features(
@@ -116,23 +127,57 @@ class SceneStore:
         num_classes: int = NUM_CLASSES,
         is_weighting: bool = True,
         equalize: bool = True,
+        ctx=None,
     ) -> "SceneStore":
         """Pod-scale loading: hold full arrays (and multiview banks) only for
         THIS process's scene shard, while label weights still come from the
-        WHOLE split — a streaming label-column pass over every scene, one
-        histogram resident at a time instead of N hosts x all scenes in RAM.
-        Shard semantics match SceneStore.shard (strided; equalize=True
-        truncates to equal counts for training, False covers every scene
-        for distributed eval)."""
+        WHOLE split. Shard semantics match SceneStore.shard (strided;
+        equalize=True truncates to equal counts for training, False covers
+        every scene for distributed eval).
+
+        Global weights, two ways:
+          - ctx given (a ProcessContext; every process must call this — it
+            runs ONE collective): each process histograms only the labels it
+            already loaded, the coordinator adds the equalize-dropped tail
+            (<= num_processes-1 mmap'd label columns), and the counts sum
+            across processes — no process ever re-reads the whole split.
+          - ctx None: a streaming label-column pass over every scene on this
+            process (one histogram resident at a time).
+        """
+        from pointnet2_scannet_tpu.parallel.distributed import strided_shard
+
         root = pathlib.Path(preprocessed_dir)
-        my_ids = list(scene_ids)[process_id::num_processes]
-        if equalize:
-            my_ids = my_ids[: len(scene_ids) // max(num_processes, 1)]
+        my_ids = strided_shard(
+            scene_ids, process_id, num_processes, equalize=equalize
+        )
         store = cls.from_npy_dir(
             my_ids, preprocessed_dir, multiview_h5,
             num_classes=num_classes, is_weighting=False,
         )
-        if is_weighting:
+        if not is_weighting:
+            return store
+        if ctx is not None and ctx.num_processes > 1:
+            assert (ctx.process_id, ctx.num_processes) == (process_id, num_processes)
+            counts = label_counts(
+                (store.scenes[sid][:, 10] for sid in my_ids), num_classes
+            )
+            # the strided+equalized shards jointly cover scene_ids[:n*P]
+            # exactly; the coordinator folds in the dropped tail so the
+            # weights are the FULL split's
+            n_covered = (
+                (len(scene_ids) // num_processes) * num_processes
+                if equalize else len(scene_ids)
+            )
+            if ctx.is_coordinator and n_covered < len(scene_ids):
+                counts += label_counts(
+                    (np.load(root / f"{sid}.npy", mmap_mode="r")[:, 10]
+                     for sid in list(scene_ids)[n_covered:]),
+                    num_classes,
+                )
+            store.label_weights = weights_from_counts(
+                ctx.sum_across_processes(counts)
+            )
+        else:
             store.label_weights = compute_label_weights(
                 (np.load(root / f"{sid}.npy", mmap_mode="r")[:, 10]
                  for sid in scene_ids),
@@ -156,11 +201,13 @@ class SceneStore:
         derives them from the whole train set (lib/dataset.py:48-56), and
         per-shard weights would make the psum'd loss mix inconsistent
         weightings across hosts."""
+        from pointnet2_scannet_tpu.parallel.distributed import strided_shard
+
         if num_processes <= 1:
             return self
-        ids = self.scene_ids[process_id::num_processes]
-        if equalize:
-            ids = ids[: len(self.scene_ids) // num_processes]
+        ids = strided_shard(
+            self.scene_ids, process_id, num_processes, equalize=equalize
+        )
         sub = SceneStore.__new__(SceneStore)
         sub.scene_ids = ids
         sub.scenes = {sid: self.scenes[sid] for sid in ids}

@@ -33,6 +33,16 @@ class WholeSceneDataset:
         self.store = store
         self.cfg = cfg
         self.seed = seed
+        # epoch counter folded into the per-scene sampling stream: TRAINING
+        # must re-draw the with-replacement column selections every epoch
+        # (the reference's per-call np.random draws, lib/dataset.py:316-337
+        # — WholeSceneSolver bumps this per epoch); eval/visualize leave it
+        # at 0, keeping scene tilings deterministic and process-count-
+        # invariant (tests/test_multihost.py report-equality)
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
 
     def __len__(self) -> int:
         return len(self.store)
@@ -107,15 +117,17 @@ class WholeSceneDataset:
         counts_flat = counts.reshape(-1)
         offsets = np.concatenate([[0], np.cumsum(counts_flat)])
 
-        # per-SCENE deterministic stream (seed x scene id), not one dataset
-        # stream consumed in iteration order: a scene's resample draws are
-        # then independent of which scenes sit around it, so repeated
-        # get_scene calls are idempotent and a multi-host eval shard
-        # reproduces the single-process tiling exactly
+        # per-SCENE deterministic stream (seed x epoch x scene id), not one
+        # dataset stream consumed in iteration order: a scene's resample
+        # draws are then independent of which scenes sit around it, so
+        # repeated get_scene calls are idempotent within an epoch and a
+        # multi-host eval shard reproduces the single-process tiling exactly
         # (tests/test_multihost.py asserts report equality)
         import zlib
 
-        rng = np.random.default_rng((self.seed, zlib.crc32(sid.encode())))
+        rng = np.random.default_rng(
+            (self.seed, self.epoch, zlib.crc32(sid.encode()))
+        )
         sels = []
         for col in range(nx * ny):
             cnt = counts_flat[col]

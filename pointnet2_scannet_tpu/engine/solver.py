@@ -120,6 +120,11 @@ class Solver:
                     "multi-process runs need a dp-only mesh (dp x tp would "
                     "shard parameters across hosts that feed disjoint data)"
                 )
+            # fail at construction on truncated (hang) or non-process-
+            # contiguous (silent row-pairing corruption) meshes — e.g. a
+            # resumed config's saved num_devices, or make_mesh's batch-
+            # divisibility shrink loop, could otherwise slip one through
+            self.ctx.validate_mesh(self.mesh)
         self.local_batch_size = tc.batch_size // self.ctx.num_processes
         # single device: plain device_put (NamedSharding placement pays a
         # host round trip on the tunneled single-chip backend)
@@ -419,7 +424,8 @@ class Solver:
             losses.append(stats["loss"])
             cms.append(stats["confusion"])
             it_done += k
-            if it_done // verbose > last_report // verbose:
+            # verbose=0 (or None) = silent: no per-iter reports, no division
+            if verbose and it_done // verbose > last_report // verbose:
                 last_report = it_done
                 flat_losses = self._flat_scalars(losses)
                 cm = np.sum(
@@ -489,7 +495,7 @@ class Solver:
         ):
             now = time.time()
             fetch_times.append(now - last)
-            timed = (it + 1) % verbose == 0
+            timed = bool(verbose) and (it + 1) % verbose == 0
             if timed:
                 # Drain the async dispatch queue BEFORE the timed step so the
                 # measurement is one true device step, not the whole async
@@ -700,6 +706,10 @@ class WholeSceneSolver(Solver):
         return len(self.train_loader)  # one update per scene
 
     def _run_train_epoch(self, epoch, epochs, verbose, t_start):
+        # re-draw every scene's column resampling this epoch (the reference
+        # resamples per __getitem__ call); the VAL dataset stays at epoch 0
+        # so validation tilings are comparable across epochs
+        self.train_dataset.set_epoch(epoch + 1)
         losses, cms = [], []
         iters = len(self.train_loader)
         for it, (scene_id, micro_batches) in enumerate(self.train_loader.scenes()):
@@ -728,7 +738,7 @@ class WholeSceneSolver(Solver):
             loss = float(np.asarray(loss_sum)) / max(float(np.asarray(count_sum)), 1.0)
             losses.append(loss)
             cms.append(np.asarray(cm_sum))
-            if (it + 1) % verbose == 0:
+            if verbose and (it + 1) % verbose == 0:
                 pm = M.confusion_to_point_metrics(np.sum(cms[-verbose:], axis=0))
                 self._say(
                     ITER_REPORT.format(

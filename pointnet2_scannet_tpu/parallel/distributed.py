@@ -39,6 +39,28 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# meshes already checked by ProcessContext.validate_mesh (id-keyed: Mesh is
+# effectively immutable once built, and the check is O(devices))
+_VALIDATED_MESHES: set[int] = set()
+
+
+def strided_shard(
+    items: Sequence, process_id: int, num_processes: int, *, equalize: bool = True
+) -> list:
+    """THE sharding contract, in one place (ProcessContext.shard_list and
+    SceneStore.shard/from_npy_dir_sharded all delegate here): process p gets
+    items[p::num_processes]; `equalize` truncates to n // num_processes each
+    (TRAINING needs equal per-process step counts or the per-step
+    collectives deadlock; distributed eval/visualize pass False to cover
+    every item)."""
+    if num_processes <= 1:
+        return list(items)
+    out = list(items)[process_id::num_processes]
+    if equalize:
+        out = out[: len(items) // num_processes]
+    return out
+
+
 @dataclasses.dataclass(frozen=True)
 class ProcessContext:
     """Identity of this process within a multi-process run (1 process = the
@@ -57,17 +79,50 @@ class ProcessContext:
 
     # ------------------------------------------------------------- data layer
 
-    def shard_list(self, items: Sequence) -> list:
-        """This process's strided shard, truncated so every process gets the
-        SAME count (n // num_processes) — unequal shards would give the
-        processes different steps-per-epoch and deadlock the per-step
-        collectives. Up to num_processes-1 trailing items are dropped;
-        callers should warn on the coordinator when len % num_processes != 0.
-        """
-        n = len(items) // self.num_processes
-        return list(items)[self.process_id :: self.num_processes][:n]
+    def shard_list(self, items: Sequence, *, equalize: bool = True) -> list:
+        """This process's strided shard (see strided_shard). With equalize,
+        up to num_processes-1 trailing items are dropped; callers should
+        warn on the coordinator when len % num_processes != 0."""
+        return strided_shard(
+            items, self.process_id, self.num_processes, equalize=equalize
+        )
 
     # ------------------------------------------------------ batch placement
+
+    def validate_mesh(self, mesh: Mesh) -> None:
+        """Construction-time checks for the multi-process placement
+        contract. `place`'s row layout (process p's rows at global slice
+        [p*local, (p+1)*local)) holds only if the mesh's flattened device
+        order is process-contiguous IN PROCESS ORDER with equal counts —
+        true for jax.devices() on the CPU backend and standard pod
+        topologies, but asserted here because a violation would not crash:
+        it would silently pair gathered rows with the wrong host data
+        (whole-scene val metrics, partseg instance mIoU). Also requires the
+        mesh to span every process (a truncated mesh leaves some processes
+        outside the collectives and hangs)."""
+        if self.num_processes == 1:
+            return
+        if id(mesh) in _VALIDATED_MESHES:
+            return
+        devices = list(mesh.devices.ravel())
+        if len(devices) != jax.device_count():
+            raise ValueError(
+                f"multi-process mesh must span every global device "
+                f"({jax.device_count()}), got {len(devices)} — leave the "
+                "device count unset and pick a batch size divisible by the "
+                "global device count"
+            )
+        pids = [d.process_index for d in devices]
+        per = len(devices) // self.num_processes
+        expect = [p for p in range(self.num_processes) for _ in range(per)]
+        if pids != expect:
+            raise ValueError(
+                "multi-process mesh devices are not process-contiguous in "
+                f"process order (got process ids {pids}); build the mesh "
+                "from jax.devices() sorted by process_index or the "
+                "local-row placement contract breaks silently"
+            )
+        _VALIDATED_MESHES.add(id(mesh))
 
     def place(self, batch, mesh: Mesh, *, axis: int = 0):
         """Place a pytree of process-LOCAL arrays as global arrays sharded on
@@ -81,6 +136,7 @@ class ProcessContext:
         assert len(mesh.axis_names) == 1, (
             f"distributed placement wants a 1-axis dp mesh, got {mesh.axis_names}"
         )
+        self.validate_mesh(mesh)
         spec = P(*([None] * axis), mesh.axis_names[0])
         sharding = NamedSharding(mesh, spec)
         if self.num_processes == 1:
@@ -169,13 +225,19 @@ class ProcessContext:
 
     def sum_across_processes(self, values: np.ndarray) -> np.ndarray:
         """Element-wise sum of a small host vector over all processes (for
-        host-computed metric accumulators at validation cadence)."""
+        host-computed metric accumulators at validation cadence). Runs under
+        enable_x64 so float64 accumulators (e.g. label-histogram counts,
+        which exceed 2^24 on real ScanNet splits) survive the collective
+        without 32-bit demotion."""
         values = np.asarray(values)
         if self.num_processes == 1:
             return values
         from jax.experimental import multihost_utils
 
-        return np.asarray(multihost_utils.process_allgather(values)).sum(axis=0)
+        with jax.enable_x64():
+            return np.asarray(
+                multihost_utils.process_allgather(values)
+            ).sum(axis=0)
 
     def allgather_ragged(self, rows: np.ndarray) -> np.ndarray:
         """Concatenate per-process (n_p, D) row blocks over all processes in
@@ -187,15 +249,18 @@ class ProcessContext:
             return rows
         from jax.experimental import multihost_utils
 
-        counts = np.asarray(
-            multihost_utils.process_allgather(
-                np.array([rows.shape[0]], np.int64)
-            )
-        ).ravel()
-        m = int(counts.max())
-        padded = np.zeros((m,) + rows.shape[1:], rows.dtype)
-        padded[: rows.shape[0]] = rows
-        gathered = np.asarray(multihost_utils.process_allgather(padded))
+        # enable_x64: without it jax demotes float64/int64 host values to
+        # 32-bit in the collective, silently rounding the gathered metrics
+        with jax.enable_x64():
+            counts = np.asarray(
+                multihost_utils.process_allgather(
+                    np.array([rows.shape[0]], np.int64)
+                )
+            ).ravel()
+            m = int(counts.max())
+            padded = np.zeros((m,) + rows.shape[1:], rows.dtype)
+            padded[: rows.shape[0]] = rows
+            gathered = np.asarray(multihost_utils.process_allgather(padded))
         return np.concatenate(
             [gathered[p, : int(counts[p])] for p in range(self.num_processes)]
         )

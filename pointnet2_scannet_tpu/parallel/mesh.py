@@ -44,6 +44,28 @@ def dp_mesh_or_none(
     return make_mesh(num_devices, batch_size=batch_size)
 
 
+def local_dp_mesh_or_none(
+    num_devices: int | None, *, batch_size: int
+) -> Mesh | None:
+    """Per-process LOCAL device mesh for distributed eval/visualize: those
+    forwards have no collectives, so each process meshes over its own chips
+    only (a global mesh would force cross-host collectives into them).
+    Shared by both CLIs' --num_devices handling so the shrink rule can't
+    drift. None/0/1 means plain single-device."""
+    if num_devices in (None, 0, 1):
+        return None
+    k = num_devices
+    while k > 1 and batch_size % k != 0:
+        k -= 1
+    local = jax.local_devices()
+    if k > len(local):
+        raise ValueError(
+            f"--num_devices {num_devices} exceeds this process's "
+            f"{len(local)} local devices in a distributed run"
+        )
+    return Mesh(np.asarray(local[:k]), ("dp",))
+
+
 def make_mesh_2d(
     dp: int, tp: int, *, axis_names: tuple[str, str] = ("dp", "tp")
 ) -> Mesh:

@@ -60,6 +60,7 @@ def evaluate(args) -> None:
                 num_processes=ctx.num_processes,
                 is_weighting=cfg.data.is_weighting,
                 equalize=False,
+                ctx=ctx,
             )
         else:
             store = SceneStore.from_npy_dir(
@@ -114,28 +115,15 @@ def evaluate(args) -> None:
 
 
 def _eval_mesh(args, ctx):
-    from pointnet2_scannet_tpu.parallel.mesh import dp_mesh_or_none
+    from pointnet2_scannet_tpu.parallel.mesh import (
+        dp_mesh_or_none,
+        local_dp_mesh_or_none,
+    )
 
     if ctx.num_processes > 1:
-        # distributed eval: each process meshes over its LOCAL devices only
-        # (a global mesh would force cross-host collectives into a forward
-        # that has none)
-        import jax
-        import numpy as np
-        from jax.sharding import Mesh
-
-        k = getattr(args, "num_devices", None)
-        local = jax.local_devices()
-        if k in (None, 0, 1):
-            return None
-        while k > 1 and args.batch_size % k != 0:
-            k -= 1
-        if k > len(local):
-            raise SystemExit(
-                f"--num_devices {k} exceeds this process's "
-                f"{len(local)} local devices in distributed eval"
-            )
-        return Mesh(np.asarray(local[:k]), ("dp",))
+        return local_dp_mesh_or_none(
+            getattr(args, "num_devices", None), batch_size=args.batch_size
+        )
     return dp_mesh_or_none(
         getattr(args, "num_devices", None), batch_size=args.batch_size
     )

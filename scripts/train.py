@@ -114,7 +114,7 @@ def make_stores(cfg, ctx):
         make = lambda ids: SceneStore.from_npy_dir_sharded(  # noqa: E731
             ids, cfg.paths.preprocessed_dir, mv,
             process_id=ctx.process_id, num_processes=ctx.num_processes,
-            is_weighting=cfg.data.is_weighting,
+            is_weighting=cfg.data.is_weighting, ctx=ctx,
         )
         return make(train_ids), make(val_ids)
     train_store = SceneStore.from_npy_dir(
@@ -186,6 +186,12 @@ def train(args) -> None:
         overrides = {}
         if args.num_devices is not None:
             overrides["num_devices"] = args.num_devices
+        if ctx.num_processes > 1:
+            # a saved single-host device count (e.g. num_devices=1 or 4)
+            # would build a mesh on host 0's chips only — process 1+ would
+            # own no mesh devices and the collectives would hang. The mesh
+            # must span the pod; None = all global devices.
+            overrides["num_devices"] = None
         if args.verbose is not None:
             overrides["verbose"] = args.verbose
         if args.epoch is not None:

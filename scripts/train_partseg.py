@@ -110,15 +110,21 @@ def train(args) -> None:
         vars(args).update(overrides)
     if args.epoch is None:
         args.epoch = 20
-    if args.num_devices is None:
-        # multi-host: None -> every GLOBAL device; single-process: 1 device
-        args.num_devices = None if ctx.num_processes > 1 else 1
+    if ctx.num_processes > 1:
+        # multi-host meshes must span every global device — this also
+        # overrides a RESUMED config's saved single-host num_devices (a
+        # host-0-only mesh would leave other processes outside the
+        # collectives and hang)
+        args.num_devices = None
+    elif args.num_devices is None:
+        args.num_devices = 1
     if args.verbose is None:
         args.verbose = 0
 
     num_categories = args.categories
     num_parts = num_parts_total(num_categories)
     mesh = make_mesh(args.num_devices, batch_size=args.batch_size)
+    ctx.validate_mesh(mesh)  # span + process-contiguity (no-op single-process)
     bn_axis = mesh.axis_names[0] if mesh.size > 1 else None
     model = get_partseg_model(
         num_parts,

@@ -57,7 +57,7 @@ def visualize(args) -> None:
             store = SceneStore.from_npy_dir_sharded(
                 scene_ids, args.data_dir or cfg.paths.preprocessed_dir, mv,
                 process_id=ctx.process_id, num_processes=ctx.num_processes,
-                is_weighting=cfg.data.is_weighting, equalize=False,
+                is_weighting=cfg.data.is_weighting, equalize=False, ctx=ctx,
             )
         else:
             store = SceneStore.from_npy_dir(
@@ -101,25 +101,15 @@ def visualize(args) -> None:
 
 
 def _eval_mesh(args, ctx):
-    from pointnet2_scannet_tpu.parallel.mesh import dp_mesh_or_none
+    from pointnet2_scannet_tpu.parallel.mesh import (
+        dp_mesh_or_none,
+        local_dp_mesh_or_none,
+    )
 
     if ctx.num_processes > 1:
-        # per-process LOCAL device mesh, same rationale as scripts/eval.py
-        import jax
-        from jax.sharding import Mesh
-
-        k = getattr(args, "num_devices", None)
-        if k in (None, 0, 1):
-            return None
-        while k > 1 and args.batch_size % k != 0:
-            k -= 1
-        local = jax.local_devices()
-        if k > len(local):
-            raise SystemExit(
-                f"--num_devices {k} exceeds this process's "
-                f"{len(local)} local devices in distributed visualize"
-            )
-        return Mesh(np.asarray(local[:k]), ("dp",))
+        return local_dp_mesh_or_none(
+            getattr(args, "num_devices", None), batch_size=args.batch_size
+        )
     return dp_mesh_or_none(
         getattr(args, "num_devices", None), batch_size=args.batch_size
     )

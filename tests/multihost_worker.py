@@ -90,6 +90,24 @@ def main() -> None:
     np.testing.assert_array_equal(ctx.local_rows(garr2), probe)
     np.testing.assert_array_equal(ctx.all_rows(garr2), expected_all)
 
+    # sharded real-data loading with collective global weights (argv[5] =
+    # a directory of .npy scenes the test wrote): each process holds only
+    # its shard but the weights must BIT-match the full streaming pass
+    # (integer-valued float64 counts sum exactly in any order)
+    if len(sys.argv) > 5:
+        import pathlib
+
+        from pointnet2_scannet_tpu.data.scene_store import SceneStore
+
+        scene_dir = pathlib.Path(sys.argv[5])
+        ids = sorted(p.stem for p in scene_dir.glob("*.npy"))
+        sharded = SceneStore.from_npy_dir_sharded(
+            ids, scene_dir, process_id=pid, num_processes=nproc, ctx=ctx
+        )
+        full = SceneStore.from_npy_dir(ids, scene_dir)
+        assert len(sharded) == len(ids) // nproc
+        np.testing.assert_array_equal(sharded.label_weights, full.label_weights)
+
     np.savez(out_path, losses=np.array(losses), params=flat_params(state))
     ctx.barrier("worker-done")
     print(f"[{pid}] ok losses={losses}", flush=True)

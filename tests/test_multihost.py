@@ -72,12 +72,23 @@ class TestDistributedStepAgreement:
         steps in ONE process on the 8-device mesh fed the concatenated
         global batches (the placement contract: process p's local rows land
         at global rows [p*B_local, (p+1)*B_local))."""
+        from pointnet2_scannet_tpu.data.synthetic import make_synthetic_scene
+
+        # scenes for the worker's sharded-weights check (5 -> 2+2, tail
+        # scene's labels folded in by the coordinator)
+        scene_dir = tmp_path / "scenes"
+        scene_dir.mkdir()
+        for i in range(5):
+            np.save(
+                scene_dir / f"s{i:02d}.npy", make_synthetic_scene(i, n_points=4000)
+            )
+
         coord = f"127.0.0.1:{free_port()}"
         outs = [tmp_path / f"w{p}.npz" for p in range(2)]
         procs = [
             launch(
                 "tests/multihost_worker.py",
-                [str(p), "2", coord, str(outs[p])],
+                [str(p), "2", coord, str(outs[p]), str(scene_dir)],
             )
             for p in range(2)
         ]
