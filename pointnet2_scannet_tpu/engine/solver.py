@@ -87,9 +87,15 @@ class Solver:
         mesh=None,
         process_ctx: ProcessContext | None = None,
         compute_voxel_metrics: bool = True,
+        trace_dir: str | pathlib.Path | None = None,
     ):
         self.model = model
         self.config = config
+        # profiler capture (execution-only, never serialized into the run
+        # config): one epoch's train loop is wrapped in jax.profiler.trace
+        # and written here as a TensorBoard/XProf trace. The reference's only
+        # instrumentation is wall-clock prints (lib/solver.py:222-246).
+        self.trace_dir = trace_dir
         self.train_dataset = train_dataset
         self.val_dataset = val_dataset
         self.output_dir = pathlib.Path(output_dir)
@@ -329,7 +335,22 @@ class Solver:
                     if ds is not None and hasattr(ds, "start_regen_async"):
                         ds.start_regen_async()
 
-            train_stats = self._run_train_epoch(epoch, epochs, verbose, t_start)
+            # profiler capture: trace the SECOND epoch when there is one
+            # (epoch 0 carries the jit compiles, which would dwarf the
+            # steady-state timeline), once, coordinator only
+            if (
+                self.trace_dir is not None
+                and epoch == min(start_epoch + 1, epochs - 1)
+                and self.ctx.is_coordinator
+            ):
+                from ..utils.profiling import trace
+
+                self._say(f"capturing profiler trace -> {self.trace_dir}", flush=True)
+                with trace(str(self.trace_dir)):
+                    train_stats = self._run_train_epoch(epoch, epochs, verbose, t_start)
+                self.trace_dir = None
+            else:
+                train_stats = self._run_train_epoch(epoch, epochs, verbose, t_start)
             self.logger.add_scalars("train", train_stats, epoch)
 
             if self.val_loader is not None:

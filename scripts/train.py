@@ -241,7 +241,8 @@ def train(args) -> None:
         bn_axis_name=bn_axis,
     )
     solver = solver_cls(
-        model, train_ds, val_ds, cfg, output_dir, mesh=mesh, process_ctx=ctx
+        model, train_ds, val_ds, cfg, output_dir, mesh=mesh, process_ctx=ctx,
+        trace_dir=args.trace,
     )
     if ctx.is_coordinator:
         print(
@@ -308,6 +309,12 @@ def parse_args(argv=None):
     p.add_argument("--use_normal", action="store_true")
     p.add_argument("--use_multiview", action="store_true")
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument(
+        "--trace", type=str, default=None, metavar="DIR",
+        help="capture a jax.profiler trace (TensorBoard/XProf timeline) of "
+        "one train epoch into DIR — the second epoch when there is one, so "
+        "the jit compiles stay out of the steady-state timeline",
+    )
     p.add_argument(
         "--shuffle", action="store_true",
         help="shuffle scene order across train batches each epoch (the "

@@ -159,8 +159,22 @@ class TestSolverGuards:
         fresh = Solver(model, train_ds, None, cfg, tmp_path)
         assert fresh.resume() == 1  # epoch 0 completed; resume from epoch 1
 
+    def test_trace_dir_captures_profile(self, tmp_path):
+        # --trace DIR wraps one train epoch (the second, so compiles stay
+        # out of the timeline) in jax.profiler.trace and writes an XPlane
+        # trace TensorBoard/XProf can open
+        model, train_ds, cfg = self._make(tmp_path)
+        from pointnet2_scannet_tpu.engine import Solver
 
-class TestRunModeSerialization:
+        trace_dir = tmp_path / "trace"
+        solver = Solver(
+            model, train_ds, None, cfg, tmp_path / "run",
+            compute_voxel_metrics=False, trace_dir=trace_dir,
+        )
+        solver(epochs=2, verbose=100)
+        assert solver.trace_dir is None  # captured exactly once
+        planes = list(trace_dir.rglob("*.xplane.pb"))
+        assert planes, f"no xplane trace written under {trace_dir}"
     """--resume must rebuild the same KIND of run: the mode flags
     (use_wholescene/synthetic/debug) are serialized in TrainConfig and the
     train CLI derives datasets/solver class from the saved config."""
