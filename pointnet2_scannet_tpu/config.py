@@ -100,6 +100,12 @@ class TrainConfig:
     seed: int = 0
     no_weighting: bool = False
     num_devices: int | None = None  # data-parallel width (None = all devices)
+    # tensor-parallel width: >1 builds a (dp, tp) 2-D mesh — Dense kernels +
+    # Adam moments sharded over tp (parallel/mesh.train_state_shardings), the
+    # Solver selects the sharding-agnostic GSPMD step ("gspmd_dp_tp"). For
+    # this ~1M-param pointwise-MLP model dp alone is usually faster; tp is
+    # for when per-device memory, not compute, is the binding constraint.
+    tp: int = 1
     # shuffle scene order across train batches each epoch. Default False for
     # PARITY: the reference DataLoader is built without shuffle
     # (scripts/train.py:26), so epoch-over-epoch batch COMPOSITION is the

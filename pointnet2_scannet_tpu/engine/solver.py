@@ -39,11 +39,14 @@ from pointnet2_scannet_tpu.parallel.mesh import (
     fused_batch_sharding,
     make_mesh,
     replicated,
+    shard_train_state,
 )
 from pointnet2_scannet_tpu.parallel.step import (
     make_fused_train_step,
     make_parallel_eval_step,
     make_parallel_train_step,
+    make_sharded_eval_step,
+    make_sharded_train_step,
     make_shardmap_eval_step,
     make_shardmap_train_step,
 )
@@ -134,7 +137,11 @@ class Solver:
         self.local_batch_size = tc.batch_size // self.ctx.num_processes
         # single device: plain device_put (NamedSharding placement pays a
         # host round trip on the tunneled single-chip backend)
-        self.batch_sharding = batch_sharding(self.mesh) if self.mesh.size > 1 else None
+        self.batch_sharding = (
+            batch_sharding(self.mesh, axis_name=self.mesh.axis_names[0])
+            if self.mesh.size > 1
+            else None
+        )
 
         self._make_loaders(train_dataset, val_dataset, tc)
         # a per-step collective count mismatch across processes deadlocks
@@ -170,7 +177,29 @@ class Solver:
         # BN normalizes over the global batch; dp x tp meshes keep pjit/GSPMD.
         dp_axis = self.mesh.axis_names[0] if len(self.mesh.axis_names) == 1 else None
         model_bn_axis = getattr(model, "bn_axis_name", None)
-        if self.mesh.size > 1 and dp_axis is not None and model_bn_axis == dp_axis:
+        if len(self.mesh.axis_names) > 1:
+            # dp x tp: tensor-parallel production path ("gspmd_dp_tp") — the
+            # state is laid out tensor-parallel (Dense kernels + Adam moments
+            # split over the tp axis, parallel/mesh.shard_train_state), the
+            # batch keeps its dp sharding, and the sharding-AGNOSTIC jitted
+            # step lets GSPMD propagate both layouts and insert the ICI
+            # collectives; explicit replicated in_shardings (the plain pjit
+            # step) would silently all-gather the tp-sharded kernels back
+            # onto every device each step. BN pmean is incompatible with tp
+            # (bn_axis_name must be None; checked below).
+            if model_bn_axis is not None:
+                raise ValueError(
+                    f"model bn_axis_name={model_bn_axis!r} on a dp x tp mesh: "
+                    "the shard_map BN pmean path is dp-only — build the model "
+                    "with bn_axis_name=None for tensor parallelism"
+                )
+            tp_axis = self.mesh.axis_names[1]
+            self.parallel_strategy = "gspmd_dp_tp"
+            self.state = shard_train_state(self.state, self.mesh, tp_axis=tp_axis)
+            self.dropout_rng = jax.device_put(self.dropout_rng, replicated(self.mesh))
+            self._train_step = make_sharded_train_step(num_classes=num_classes)
+            self._eval_step = make_sharded_eval_step(num_classes=num_classes)
+        elif self.mesh.size > 1 and dp_axis is not None and model_bn_axis == dp_axis:
             self.parallel_strategy = "shard_map_dp"
             self._train_step = make_shardmap_train_step(
                 self.mesh, num_classes=num_classes, axis_name=dp_axis
@@ -223,7 +252,9 @@ class Solver:
                 ),
             )
             if self.mesh.size > 1:
-                self._fused_sharding = fused_batch_sharding(self.mesh)
+                self._fused_sharding = fused_batch_sharding(
+                    self.mesh, axis_name=self.mesh.axis_names[0]
+                )
 
         self.logger = (
             ScalarLogger(self.output_dir) if self.ctx.is_coordinator else _NullLogger()
@@ -303,6 +334,12 @@ class Solver:
         from pointnet2_scannet_tpu.engine.checkpoint import restore_checkpoint
 
         self.state, meta = restore_checkpoint(self.output_dir, name, self.state)
+        if self.parallel_strategy == "gspmd_dp_tp":
+            # restored leaves are host arrays; re-establish the tensor-
+            # parallel layout before the sharding-agnostic step sees them
+            self.state = shard_train_state(
+                self.state, self.mesh, tp_axis=self.mesh.axis_names[1]
+            )
         if self.ctx.num_processes > 1:
             # every process restored the same host arrays from the
             # coordinator's run dir (shared filesystem); re-replicate onto

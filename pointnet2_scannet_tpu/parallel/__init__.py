@@ -26,6 +26,7 @@ from pointnet2_scannet_tpu.parallel.step import (
     make_parallel_accum_step,
     make_parallel_apply_accum,
     make_sharded_train_step,
+    make_sharded_eval_step,
     make_fused_train_step,
 )
 
@@ -44,5 +45,6 @@ __all__ = [
     "make_parallel_accum_step",
     "make_parallel_apply_accum",
     "make_sharded_train_step",
+    "make_sharded_eval_step",
     "make_fused_train_step",
 ]

@@ -105,6 +105,12 @@ def make_fused_train_step(
             check_vma=False,
         )
         return jax.jit(mapped, donate_argnums=donate_args)
+    if len(mesh.axis_names) > 1:
+        # dp x tp: sharding-agnostic — the state carries its tensor-parallel
+        # layout (shard_train_state) and the stacked batches their
+        # fused_batch_sharding; explicit replicated in_shardings would
+        # silently all-gather the tp-sharded kernels back onto every device
+        return jax.jit(multi, donate_argnums=donate_args)
     rep = replicated(mesh)
     shard = NamedSharding(mesh, P(None, mesh.axis_names[0]))
     return jax.jit(
@@ -119,11 +125,23 @@ def make_sharded_train_step(*, num_classes: int, donate: bool = True):
     """Sharding-agnostic train step: no explicit in_shardings — the layout
     follows the data (use parallel.mesh.shard_train_state for tp/dp placement
     of the state and batch_sharding for the batch). GSPMD propagates the
-    shardings through the whole step and inserts the collectives."""
+    shardings through the whole step and inserts the collectives. This is the
+    Solver's dp x tp production step ("gspmd_dp_tp" strategy): donation keeps
+    the updated state on the same tp layout across steps."""
     from pointnet2_scannet_tpu.engine import train_state as ts
 
     step = functools.partial(ts.train_step, num_classes=num_classes)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_eval_step(*, num_classes: int):
+    """Sharding-agnostic eval step for dp x tp meshes: state keeps its
+    tensor-parallel layout (shard_train_state), the batch keeps its dp
+    sharding, GSPMD inserts the collectives; preds come back batch-sharded
+    (they follow the dp batch layout)."""
+    from pointnet2_scannet_tpu.engine import train_state as ts
+
+    return jax.jit(functools.partial(ts.eval_step, num_classes=num_classes))
 
 
 def make_parallel_accum_step(mesh: Mesh, *, num_classes: int):

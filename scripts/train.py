@@ -63,6 +63,7 @@ def build_config(args) -> "RunConfig":
             seed=args.seed,
             no_weighting=args.no_weighting,
             num_devices=args.num_devices,
+            tp=args.tp if args.tp is not None else 1,
             shuffle=args.shuffle,
             fused_steps=args.fused_steps,
             wholescene=args.use_wholescene,
@@ -186,6 +187,10 @@ def train(args) -> None:
         overrides = {}
         if args.num_devices is not None:
             overrides["num_devices"] = args.num_devices
+        if args.tp is not None:
+            # execution-layout flag like --num_devices: the resuming host may
+            # have a different chip count than the one that saved the run
+            overrides["tp"] = args.tp
         if ctx.num_processes > 1:
             # a saved single-host device count (e.g. num_devices=1 or 4)
             # would build a mesh on host 0's chips only — process 1+ would
@@ -223,14 +228,33 @@ def train(args) -> None:
 
     import jax.numpy as jnp
 
-    from pointnet2_scannet_tpu.parallel.mesh import make_mesh
+    from pointnet2_scannet_tpu.parallel.mesh import make_mesh, make_mesh_2d
 
     # build the mesh BEFORE the model: on a dp-only multi-device mesh the
     # model gets bn_axis_name=<dp axis> so the Solver selects the shard_map
     # step (each chip traces its own Pallas geometry kernels on its batch
-    # shard; see parallel/step.py make_shardmap_train_step)
-    mesh = make_mesh(cfg.train.num_devices, batch_size=cfg.train.batch_size)
-    bn_axis = mesh.axis_names[0] if mesh.size > 1 else None
+    # shard; see parallel/step.py make_shardmap_train_step). --tp>1 builds a
+    # (dp, tp) 2-D mesh instead — Dense kernels + Adam moments tp-sharded,
+    # Solver strategy "gspmd_dp_tp"; BN pmean is dp-only so bn_axis stays None.
+    tp = max(int(getattr(cfg.train, "tp", 1) or 1), 1)
+    if tp > 1:
+        if ctx.num_processes > 1:
+            raise SystemExit("--tp is single-host (dp-only meshes across hosts)")
+        import jax as _jax
+
+        n_dev = cfg.train.num_devices or len(_jax.devices())
+        if n_dev % tp:
+            raise SystemExit(f"--tp {tp} does not divide num_devices {n_dev}")
+        dp = n_dev // tp
+        if cfg.train.batch_size % max(dp, 1):
+            raise SystemExit(
+                f"batch_size {cfg.train.batch_size} not divisible by dp={dp}"
+            )
+        mesh = make_mesh_2d(dp, tp)
+        bn_axis = None
+    else:
+        mesh = make_mesh(cfg.train.num_devices, batch_size=cfg.train.batch_size)
+        bn_axis = mesh.axis_names[0] if mesh.size > 1 else None
     model = models.get_model(
         num_classes=cfg.model.num_classes,
         is_msg=cfg.model.is_msg,
@@ -309,6 +333,12 @@ def parse_args(argv=None):
     p.add_argument("--use_normal", action="store_true")
     p.add_argument("--use_multiview", action="store_true")
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument(
+        "--tp", type=int, default=None,
+        help="tensor-parallel width: >1 builds a (dp, tp) 2-D mesh with "
+        "Dense kernels + Adam moments sharded over tp (GSPMD inserts the "
+        "ICI collectives). Single-host only; num_devices must divide by tp",
+    )
     p.add_argument(
         "--trace", type=str, default=None, metavar="DIR",
         help="capture a jax.profiler trace (TensorBoard/XProf timeline) of "
