@@ -460,25 +460,45 @@ class Solver:
         tests/test_parallel.py fused agreement); stats stay on device until
         the verbose/epoch boundary so groups dispatch back-to-back.
         losses/cms collect per-GROUP stacked leaves ((K,)/(K, C, C)) and are
-        flattened at reporting time.
+        flattened at reporting time. Iter-report timing semantics match the
+        per-batch path (and the reference's fetch/forward split,
+        lib/solver.py:214-230): fetch is the real per-step host wait for the
+        prefetcher (group wait / K), and step is ONE settled dispatch —
+        drained before, fetched after, divided by K — measured once per
+        verbose window, not a cumulative wall-clock mean.
         """
         losses, cms = [], []
+        fetch_times, step_times = [], []
         iters = len(self.train_loader)
         it_done, last_report = 0, 0
-        t0 = time.time()
+        last = time.time()
         for item in prefetch_to_device(
             self._fused_group_stream(), place=self._place_item
         ):
-            if item["points"].ndim == 4:
-                k = item["points"].shape[0]
+            now = time.time()
+            k = item["points"].shape[0] if item["points"].ndim == 4 else 1
+            fetch_times.append((now - last) / k)  # per-step host wait
+            # will this group's completion cross a verbose boundary? then it
+            # is the one report-window dispatch we time for real
+            timed = bool(verbose) and (it_done + k) // verbose > last_report // verbose
+            if timed:
+                # drain the async dispatch queue so the measurement is one
+                # true fused program, not the whole async window; fetching a
+                # scalar is required — on the axon tunnel backend
+                # block_until_ready returns before execution finishes
+                np.asarray(self.state.step)
+                t_step = time.time()
+            if k > 1:
                 self.state, stats = self._fused_train_step(
                     self.state, item, self.dropout_rng
                 )
             else:
-                k = 1
                 self.state, stats = self._train_step(
                     self.state, item, self.dropout_rng
                 )
+            if timed:
+                np.asarray(stats["loss"])  # settle this dispatch
+                step_times.append((time.time() - t_step) / k)
             losses.append(stats["loss"])
             cms.append(stats["confusion"])
             it_done += k
@@ -505,14 +525,15 @@ class Solver:
                         loss=float(np.mean(flat_losses[-verbose:])),
                         point_acc=pm["point_acc"],
                         point_miou=pm["point_miou"],
-                        fetch=0.0,
-                        step=(time.time() - t0) / max(it_done, 1),
+                        fetch=float(np.mean(fetch_times[-max(verbose // k, 1):])),
+                        step=step_times[-1] if step_times else 0.0,
                         eta_h=eta["h"],
                         eta_m=eta["m"],
                         eta_s=eta["s"],
                     ),
                     flush=True,
                 )
+            last = time.time()
         self._global_iter += iters
         flat_losses = self._flat_scalars(losses)
         cm_total = (

@@ -175,6 +175,9 @@ class TestSolverGuards:
         assert solver.trace_dir is None  # captured exactly once
         planes = list(trace_dir.rglob("*.xplane.pb"))
         assert planes, f"no xplane trace written under {trace_dir}"
+
+
+class TestRunModeSerialization:
     """--resume must rebuild the same KIND of run: the mode flags
     (use_wholescene/synthetic/debug) are serialized in TrainConfig and the
     train CLI derives datasets/solver class from the saved config."""
