@@ -25,7 +25,10 @@ dispatch latency). Extra fields:
   mfu_f32_over_bf16_peak  the f32 step against the SAME bf16 peak — NOT a
                        true f32 MFU (no official v5e f32 peak to divide by);
                        named to stay honest about the mixed units
-  eval_scenes_per_sec  whole-scene evaluator rate on 100k-pt synthetic scenes
+  eval_scenes_per_sec  whole-scene evaluator rate on 100k-pt synthetic
+                       scenes — MEDIAN of eval_repeats timed runs, with
+                       eval_sps_min/max showing the spread (single draws
+                       through the tunnel vary 6.4-7.9 on identical code)
 
 `python bench.py --scale` additionally reports, as extra JSON lines: the
 batch-size scaling study (B=64/128, f32+bf16 — the data a first real
@@ -154,12 +157,17 @@ def time_train(
     return (time.perf_counter() - t0) / (calls * fused)
 
 
-def eval_scenes_per_sec(n_scenes: int = 6) -> float:
+def eval_scenes_per_sec(n_scenes: int = 6, repeats: int = 3):
+    """Median + per-draw scenes/sec over `repeats` timed evaluations: one
+    draw through the tunnel spreads 6.4-7.9 on identical code (DESIGN.md
+    eval part 3), so the headline reports the median with min/max so
+    round-over-round deltas are attributable to code, not tunnel weather."""
     # one copy of the eval harness: scripts/bench_eval.py (it and this bench
     # had drifted when each carried its own)
     from scripts.bench_eval import measure
 
-    return measure(n_scenes)[0]
+    med, _, draws = measure(n_scenes, repeats=repeats)
+    return med, draws
 
 
 def main(scale: bool = False) -> None:
@@ -176,7 +184,7 @@ def main(scale: bool = False) -> None:
     # 7.9 standalone -> 5.9 after the eight train benches; jax.clear_caches
     # recovers only part). The train benches are device-side scan programs
     # and don't care about process history.
-    eps = eval_scenes_per_sec()
+    eps, eps_draws = eval_scenes_per_sec()
 
     ssg = models.get_model(num_classes=20, is_msg=False, input_channels=6)
     # headline: the train CLI's production path (--fused_steps 8, K steps per
@@ -223,6 +231,9 @@ def main(scale: bool = False) -> None:
                     3.0 * flops_fwd / ssg_step_s / V5E_BF16_PEAK, 4
                 ),
                 "eval_scenes_per_sec": round(eps, 3),
+                "eval_sps_min": round(min(eps_draws), 3),
+                "eval_sps_max": round(max(eps_draws), 3),
+                "eval_repeats": len(eps_draws),
             }
         )
     )
