@@ -73,14 +73,17 @@ def _make_data():
     return batches
 
 
-def test_training_trajectory_parity():
+@pytest.mark.slow
+@pytest.mark.parametrize("is_msg", [False, True], ids=["ssg", "msg"])
+def test_training_trajectory_parity(is_msg):
     mods = load_reference_modules()
     torch.manual_seed(0)
     tmodel = mods["semseg"].get_model(
-        num_classes=20, is_msg=False, input_channels=C_IN, use_xyz=True, bn=True
+        num_classes=20, is_msg=is_msg, input_channels=C_IN, use_xyz=True, bn=True
     )
     tmodel.cls_layer[1] = torch.nn.Identity()  # drop dropout: deterministic
-    spec = dataclasses.replace(models.ssg_spec(20, C_IN), dropout=0.0)
+    spec_fn = models.msg_spec if is_msg else models.ssg_spec
+    spec = dataclasses.replace(spec_fn(20, C_IN), dropout=0.0)
     fmodel = models.PointNet2SemSeg(spec=spec)
     variables = convert_torch_pointnet2(
         {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}, spec
