@@ -1,0 +1,62 @@
+"""Multiview-recipe learning evidence — VERDICT r3 #6.
+
+The 131-channel multiview configs are the reference's best-mIoU gates
+(README.md:11-12: 65.75 xyz+multiview, 67.60 xyz+normal+multiview). The CLI
+smoke (tests/test_cli_integration.py) proves the plumbing; this regression
+proves LEARNING through the multiview channels: synthetic per-point 128-dim
+feature banks built from a class embedding (so the features genuinely carry
+label signal, like real ENet features do), trained with use_color=False /
+use_normal=False so the multiview columns are the ONLY appearance signal —
+geometry alone cannot separate the furniture classes on this fixture.
+"""
+
+import numpy as np
+import pytest
+
+from pointnet2_scannet_tpu import models
+from pointnet2_scannet_tpu.config import DataConfig, ModelConfig, RunConfig, TrainConfig
+from pointnet2_scannet_tpu.data import ChunkedSceneDataset
+from pointnet2_scannet_tpu.data.synthetic import make_synthetic_store
+from pointnet2_scannet_tpu.engine import Solver
+
+
+def _attach_label_correlated_multiview(store, *, dim=128, seed=7):
+    """Per-scene (N, 128) banks: a fixed class embedding + noise, mimicking
+    ENet features' class-discriminative structure."""
+    rng = np.random.default_rng(seed)
+    emb = rng.normal(0.0, 1.0, size=(40, dim)).astype(np.float32)
+    for sid in store.scene_ids:
+        scene = store.scenes[sid]
+        labels = scene[:, 10].astype(np.int64)
+        mv = emb[labels] + rng.normal(0.0, 0.3, size=(len(scene), dim))
+        store.multiview[sid] = mv.astype(np.float32)
+
+
+@pytest.mark.slow
+def test_multiview_features_drive_learning(tmp_path):
+    epochs = 12
+    cfg = RunConfig(
+        tag="mv-conv-test",
+        data=DataConfig(
+            npoints=1024, use_color=False, use_normal=False, use_multiview=True
+        ),
+        model=ModelConfig(is_msg=False),
+        train=TrainConfig(batch_size=4, epochs=epochs, lr=1e-3, verbose=100, seed=0),
+    )
+    assert cfg.data.input_channels == 128
+    store = make_synthetic_store(n_scenes=4, n_points=15_000)
+    _attach_label_correlated_multiview(store)
+    train_ds = ChunkedSceneDataset(store, cfg.data, phase="train", seed=0)
+    val_ds = ChunkedSceneDataset(store, cfg.data, phase="val", seed=1)
+    model = models.get_model(
+        num_classes=cfg.model.num_classes,
+        is_msg=False,
+        input_channels=cfg.data.input_channels,
+    )
+    solver = Solver(model, train_ds, val_ds, cfg, tmp_path, compute_voxel_metrics=True)
+    solver(epochs=epochs, verbose=100)
+
+    train_losses = [v for _, v in solver.logger.scalars["train/loss"]]
+    assert np.mean(train_losses[-3:]) < np.mean(train_losses[:3]) * 0.9, train_losses
+    mious = [v for _, v in solver.logger.scalars["val/point_miou"]]
+    assert np.mean(mious[-3:]) > np.mean(mious[:3]) + 0.02, mious
