@@ -16,9 +16,12 @@ import pathlib
 import subprocess
 import sys
 
+import pytest
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
+@pytest.mark.slow
 def test_train_cls_dp8(tmp_path):
     args = [
         "--classes", "3",

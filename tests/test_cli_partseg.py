@@ -14,9 +14,12 @@ import pathlib
 import subprocess
 import sys
 
+import pytest
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
+@pytest.mark.slow
 def test_train_partseg_dp8(tmp_path):
     args = [
         "--categories", "2",

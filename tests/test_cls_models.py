@@ -33,6 +33,7 @@ def _clouds(rng, n=B, kind=0):
 
 
 @pytest.mark.parametrize("is_msg", [False, True])
+@pytest.mark.slow
 def test_forward_shapes_and_grad(is_msg):
     model = get_cls_model(num_classes=7, is_msg=is_msg)
     rng = np.random.default_rng(0)
@@ -72,6 +73,7 @@ def test_eval_mode_deterministic():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_ssg_separates_sphere_from_cube():
     model = get_cls_model(num_classes=2)
     rng = np.random.default_rng(2)

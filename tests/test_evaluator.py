@@ -267,6 +267,7 @@ class TestMeshEvaluator:
         with pytest.raises(ValueError, match="must divide"):
             WholeSceneEvaluator(perfect_apply, {}, batch_size=6, mesh=make_mesh(8))
 
+    @pytest.mark.slow
     def test_real_model_dp_mesh_matches_single(self):
         # the full flagship model through the shard_map eval path
         import jax

@@ -128,6 +128,7 @@ class TestExportForward:
         )).predict(np.zeros((0, N, 3), np.float32))
         assert logits.shape == (0, N, 20)
 
+    @pytest.mark.slow
     def test_multi_device_round_robin_matches_single(self):
         """devices=jax.devices() round-robins batches across the 8-device CPU
         mesh and reassembles outputs in order, bit-equal to single-device."""

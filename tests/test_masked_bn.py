@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -77,6 +79,7 @@ def test_masked_stats_equal_ragged_stats():
         )
 
 
+@pytest.mark.slow
 class TestGradAccumPaddedVsRagged:
     """grad_accum_step on a zero-padded tail micro-batch must produce the
     same batch_stats / loss / gradients as the ragged (unpadded) batch."""

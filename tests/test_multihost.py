@@ -66,6 +66,7 @@ def join_all(procs, timeout: int):
     return outs
 
 
+@pytest.mark.slow
 class TestDistributedStepAgreement:
     def test_two_process_step_matches_single_process(self, tmp_path):
         """3 shard_map train steps across 2 real processes == the same 3
@@ -150,6 +151,7 @@ class TestDistributedStepAgreement:
         )
 
 
+@pytest.mark.slow
 class TestDistributedTrainCLI:
     def test_full_train_cli_two_processes(self, tmp_path):
         """The COMPLETE training CLI across 2 processes on synthetic scenes:
@@ -219,6 +221,7 @@ class TestDistributedTrainCLI:
         assert any(step == 2 for step, _ in scalars["train/loss"]), scalars
 
 
+@pytest.mark.slow
 class TestDistributedEvalCLI:
     def test_distributed_eval_matches_single_process(self, tmp_path):
         """Multi-host whole-scene eval: scenes shard RAGGED across processes
@@ -277,6 +280,7 @@ class TestDistributedEvalCLI:
         assert dout0.count("point_acc") >= 2 and dout1.count("point_acc") >= 1
 
 
+@pytest.mark.slow
 class TestDistributedShapeTrainers:
     """The beyond-reference shape families scale with the same multi-host
     pattern: per-process train batch shards (pid-folded seeds), a GLOBAL
@@ -398,6 +402,7 @@ class TestProcessContextUnit:
         assert unpack_scene_results(pack_scene_results([])) == []
 
 
+@pytest.mark.slow
 class TestDistributedVisualizeCLI:
     def test_two_process_visualize_covers_empty_shard(self, tmp_path):
         """Distributed visualize: 1 synthetic scene over 2 processes —

@@ -51,6 +51,7 @@ class TestParallelStep:
         cm = np.asarray(stats["confusion"])
         assert cm.sum() == B * N  # every point counted exactly once
 
+    @pytest.mark.slow
     def test_dp_matches_single_device(self):
         # identical batch through an 8-way mesh and a 1-way mesh -> same loss
         state1, batch = make_state_and_batch(seed=3)
@@ -93,6 +94,7 @@ class TestParallelStep:
 
 
 class TestTensorParallel:
+    @pytest.mark.slow
     def test_dp_tp_mesh_matches_dp_only(self):
         from pointnet2_scannet_tpu.parallel import (
             make_mesh_2d,
@@ -145,6 +147,7 @@ class TestShardMapStep:
 
         return dataclasses.replace(ssg_spec(20, 0), dropout=0.0)
 
+    @pytest.mark.slow
     def test_matches_gspmd_step(self):
         import dataclasses
 
@@ -285,6 +288,7 @@ class TestFusedStep:
             )
         return out
 
+    @pytest.mark.slow
     def test_matches_sequential_single_device(self):
         from pointnet2_scannet_tpu.parallel import make_fused_train_step
 

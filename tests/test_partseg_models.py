@@ -24,6 +24,7 @@ P = num_parts_total(K)
 
 
 @pytest.mark.parametrize("is_msg", [False, True])
+@pytest.mark.slow
 def test_forward_shapes_and_grad(is_msg):
     model = get_partseg_model(P, K, is_msg=is_msg)
     batch = sample_partseg_batch(np.random.default_rng(0), B, N, K)
@@ -65,6 +66,7 @@ def test_category_onehot_conditions_output():
     assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
 
 
+@pytest.mark.slow
 def test_ssg_learns_synthetic_parts():
     """Sphere/cube parts (hemispheres, z-faces vs sides) to high accuracy in
     a bounded number of Adam steps — proof the family trains, not just runs."""

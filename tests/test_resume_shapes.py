@@ -13,6 +13,8 @@ import importlib.util
 import json
 import pathlib
 
+import pytest
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
@@ -25,6 +27,7 @@ def _load(script: str):
     return mod
 
 
+@pytest.mark.slow
 def test_cls_resume_roundtrip(tmp_path):
     tc = _load("scripts/train_cls.py")
     tc.train(tc.parse_args([
@@ -52,6 +55,7 @@ def test_cls_resume_roundtrip(tmp_path):
     assert cfg["epoch"] == 4  # rewritten so a further resume sees the target
 
 
+@pytest.mark.slow
 def test_partseg_resume_roundtrip(tmp_path):
     tp = _load("scripts/train_partseg.py")
     tp.train(tp.parse_args([

@@ -82,6 +82,7 @@ class TestStrategySelection:
             build_solver(tmp_path, 8, bn_axis="model")
 
 
+@pytest.mark.slow
 class TestShardMapSolverRuns:
     def test_chunked_solver_one_epoch(self, tmp_path):
         solver = build_solver(tmp_path, 8, bn_axis="dp")
@@ -101,6 +102,7 @@ class TestShardMapSolverRuns:
         assert int(np.asarray(solver.state.step)) == 1
 
 
+@pytest.mark.slow
 class TestTrainCLISelectsShardMap:
     def test_train_cli_num_devices_8(self, tmp_path):
         """`scripts/train.py --num_devices 8` end-to-end on the virtual mesh:
