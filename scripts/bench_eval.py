@@ -81,4 +81,4 @@ def main(n_scenes: int = 4) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 4)

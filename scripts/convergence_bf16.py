@@ -8,7 +8,10 @@ two 12-epoch synthetic SSG runs (identical store/seed), f32 then bf16
 [xyz_hi|xyz_lo|feats] 2x-bf16 coordinate grouping), reporting the settled
 tail means of val point-mIoU and train loss for both as one JSON line.
 
-  python -u scripts/convergence_bf16.py [--epochs 12] [--cpu]
+  python -u scripts/convergence_bf16.py [--epochs 12] [--cpu] [--msg]
+
+--msg drives the MSG (52.50-gate) model through the same comparison,
+completing the recipe x dtype convergence matrix (SSG/MSG x f32/bf16).
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def run(dtype_name: str, store, epochs: int, out_root: pathlib.Path):
+def run(dtype_name: str, store, epochs: int, out_root: pathlib.Path, is_msg: bool = False):
     import jax.numpy as jnp
 
     from pointnet2_scannet_tpu import models
@@ -40,14 +43,14 @@ def run(dtype_name: str, store, epochs: int, out_root: pathlib.Path):
     cfg = RunConfig(
         tag=f"bf16conv-{dtype_name}",
         data=DataConfig(npoints=1024, use_color=True, use_normal=True),
-        model=ModelConfig(is_msg=False, compute_dtype=dtype_name),
+        model=ModelConfig(is_msg=is_msg, compute_dtype=dtype_name),
         train=TrainConfig(batch_size=4, epochs=epochs, lr=1e-3, verbose=100, seed=0),
     )
     train_ds = ChunkedSceneDataset(store, cfg.data, phase="train", seed=0)
     val_ds = ChunkedSceneDataset(store, cfg.data, phase="val", seed=1)
     model = models.get_model(
         num_classes=cfg.model.num_classes,
-        is_msg=False,
+        is_msg=is_msg,
         input_channels=cfg.data.input_channels,
         dtype=jnp.bfloat16 if dtype_name == "bfloat16" else None,
     )
@@ -64,6 +67,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--msg", action="store_true", help="drive the MSG model instead of SSG")
     args = ap.parse_args()
 
     if args.cpu:
@@ -78,8 +82,8 @@ def main() -> None:
     store = make_synthetic_store(n_scenes=4, n_points=15_000)
     with tempfile.TemporaryDirectory() as td:
         root = pathlib.Path(td)
-        f32_losses, f32_mious = run("float32", store, args.epochs, root)
-        bf_losses, bf_mious = run("bfloat16", store, args.epochs, root)
+        f32_losses, f32_mious = run("float32", store, args.epochs, root, is_msg=args.msg)
+        bf_losses, bf_mious = run("bfloat16", store, args.epochs, root, is_msg=args.msg)
 
     def tail(xs):
         return float(np.mean(xs[-3:]))
@@ -87,7 +91,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "bf16_vs_f32_val_point_miou_tail",
+                "metric": ("msg_" if args.msg else "") + "bf16_vs_f32_val_point_miou_tail",
                 "value": round(tail(bf_mious), 4),
                 "unit": "mIoU",
                 "f32_tail": round(tail(f32_mious), 4),
