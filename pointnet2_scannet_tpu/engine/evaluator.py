@@ -193,16 +193,20 @@ class WholeSceneEvaluator:
             )
         else:
             self._fwd = jax.jit(fwd)
-        self._idx_cache: dict = {}  # (W, n_pad, C) -> (fwd_idx, update_slot)
+        self._idx_cache: dict = {}  # (W,n_pad,C,S_cap,NP) -> (fwd_desc, update_slot)
 
-    def _pick_ring(self, dataset, n_pad: int, C: int, B: int, depth: int) -> int:
+    def _pick_ring(
+        self, dataset, n_pad: int, C: int, B: int, depth: int,
+        idx_slot_bytes: int = 0,
+    ) -> int:
         """Ring size: explicit override, else sized so steady-state
         evaluation never hits the slot-reclaim flush. A scene drains ~S_i +
         B*depth columns after arrival while ~(W-1)*S_min columns arrive
         before its slot is reclaimed, so W >= 1 + (S_max + B*depth)/S_min
         avoids flushes; the column estimates are bound-based (nx*ny upper
         bounds), so S_min is halved as a safety factor. Clamped to [4, 64]
-        and to a 2 GB slot budget."""
+        and to a 2 GB slot budget (features + the scene's resident index
+        rows, idx_slot_bytes)."""
         if self.ring_slots is not None:
             if self.ring_slots < 1:
                 raise ValueError(
@@ -220,68 +224,91 @@ class WholeSceneEvaluator:
         s_min = max(min(ests) // 2, 1)
         W = int(np.ceil(1.0 + (s_max + B * depth) / s_min)) + 1
         W = max(4, min(W, 64))
-        per_slot = n_pad * C * 4
+        per_slot = n_pad * C * 4 + idx_slot_bytes
         W = max(2, min(W, int(2 * 1024**3 // max(per_slot, 1))))
         return W
 
-    def _build_indexed(self, W: int, n_pad: int, C: int):
-        if (W, n_pad, C) in self._idx_cache:
-            return self._idx_cache[(W, n_pad, C)]
+    def _build_indexed(self, W: int, n_pad: int, C: int, S_cap: int, NP: int):
+        """Jitted (fwd_desc, update_slot) for descriptor dispatch.
+
+        The scene ring holds BOTH the features (W, n_pad, C) and the local
+        resample indices (W, S_cap, NP); both upload once per scene on the
+        producer thread. Per-batch traffic is then a (B, 2) int32 (slot,
+        column) descriptor — measured on the real chip vs shipping the full
+        (B, NP) index rows per batch: 42.5 -> 29 ms/batch pipelined, 52 ->
+        41 ms/batch serial (the tunnel serializes every dispatch's host
+        args, so the 0.5-1 MB index upload sat on the critical path even
+        with depth-10 pipelining)."""
+        key = (W, n_pad, C, S_cap, NP)
+        if key in self._idx_cache:
+            return self._idx_cache[key]
         import jax.numpy as jnp
         from jax import lax
 
         apply_fn = self._apply_fn
 
-        def fwd_idx_core(variables, stack, idx):
-            # stack (W, n_pad, C) resident scenes; idx (B, npoints) int32
-            # global rows (slot * n_pad + point). The gather rebuilds the
-            # column batch ON DEVICE, so only ~0.5 MB of indices rides the
-            # host->device link per batch instead of the 4.7 MB of features
-            # (the tunnel moves ~60 MB/s — eval was transfer-bound).
-            pts = jnp.take(stack.reshape(W * n_pad, C), idx, axis=0)
+        def fwd_desc_core(variables, stack, idx_ring, desc):
+            # desc (B, 2) int32 rows (slot, column); the resample indices and
+            # the features are both already resident, so the column batch is
+            # rebuilt entirely on device from 8 bytes/row of host input.
+            local = jnp.take(
+                idx_ring.reshape(W * S_cap, NP),
+                desc[:, 0] * S_cap + desc[:, 1],
+                axis=0,
+            )  # (B, NP) scene-local point rows
+            rows = local + desc[:, 0][:, None] * n_pad
+            pts = jnp.take(stack.reshape(W * n_pad, C), rows, axis=0)
             logits = apply_fn(variables, pts, train=False)
             return jnp.argmax(logits, axis=-1).astype(self._pred_dtype)
 
+        def update_core(stack, idx_ring, buf, slot):
+            # buf: ONE packed uint32 upload per scene [feats_bits | indices]
+            # — the tunnel charges ~39 ms fixed latency per transfer
+            # (DESIGN.md eval-at-scale), so shipping features and indices
+            # as separate arrays costs a second latency hit per scene;
+            # packing them into a single buffer and splitting/bitcasting
+            # on device pays it once
+            feats = lax.bitcast_convert_type(
+                buf[: n_pad * C], jnp.float32
+            ).reshape(n_pad, C)
+            idx = buf[n_pad * C :].astype(jnp.int32).reshape(S_cap, NP)
+            return (
+                lax.dynamic_update_slice(stack, feats[None], (slot, 0, 0)),
+                lax.dynamic_update_slice(idx_ring, idx[None], (slot, 0, 0)),
+            )
+
         if self.mesh is not None:
-            # dp eval: ring + params replicated, index rows sharded; each
-            # device gathers and forwards its own row shard (shard_map keeps
-            # the Pallas geometry kernels per-device, like the train path)
+            # dp eval: rings + params replicated, descriptor rows sharded;
+            # each device gathers and forwards its own row shard (shard_map
+            # keeps the Pallas geometry kernels per-device, like the train
+            # path)
             from jax.sharding import PartitionSpec as P
 
             from pointnet2_scannet_tpu.parallel.mesh import replicated
 
             axis = self.mesh.axis_names[0]
-            fwd_idx = jax.jit(
+            fwd_desc = jax.jit(
                 jax.shard_map(
-                    fwd_idx_core,
+                    fwd_desc_core,
                     mesh=self.mesh,
-                    in_specs=(P(), P(), P(axis)),
+                    in_specs=(P(), P(), P(), P(axis)),
                     out_specs=P(axis),
                     check_vma=False,
                 )
             )
             rep = replicated(self.mesh)
-
-            def update_core(stack, scene, slot):
-                return lax.dynamic_update_slice(stack, scene[None], (slot, 0, 0))
-
             update_slot = jax.jit(
                 update_core,
-                in_shardings=(rep, rep, rep),
-                out_shardings=rep,
-                donate_argnums=(0,),
+                in_shardings=(rep,) * 4,
+                out_shardings=(rep, rep),
+                donate_argnums=(0, 1),
             )
         else:
-            fwd_idx = jax.jit(fwd_idx_core)
-            update_slot = jax.jit(
-                lambda stack, scene, slot: lax.dynamic_update_slice(
-                    stack, scene[None], (slot, 0, 0)
-                ),
-                donate_argnums=(0,),
-            )
+            fwd_desc = jax.jit(fwd_desc_core)
+            update_slot = jax.jit(update_core, donate_argnums=(0, 1))
 
-        self._idx_cache[(W, n_pad, C)] = (fwd_idx, update_slot)
-        return fwd_idx, update_slot
+        self._idx_cache[key] = (fwd_desc, update_slot)
+        return fwd_desc, update_slot
 
     def predict_scene(self, feats: np.ndarray) -> np.ndarray:
         """(S, npoints, 3+C) -> (S, npoints) predicted labels, batching S into
@@ -322,9 +349,35 @@ class WholeSceneEvaluator:
         return self._metrics_for(scene_id, feats[..., :3], labels, weights, preds)
 
     def evaluate(self, dataset: WholeSceneDataset, verbose: bool = True) -> EvalReport:
-        """Evaluate every scene with a three-stage pipeline:
+        """Evaluate every scene through the streamed pipeline (map_scenes)
+        and aggregate the per-scene metrics (eval.py:194-221)."""
 
-          tiler thread  ->  column batcher + device queue  ->  metrics pool
+        def progress(r: SceneResult) -> None:
+            vm = float(
+                np.sum(r.voxel_miou * r.miou_mask)
+                / max(np.sum(r.miou_mask), 1)
+            )
+            print(f"{r.scene_id}: point_acc {r.point_acc:.4f} voxel_miou {vm:.4f}")
+
+        results = self.map_scenes(
+            dataset, self._metrics_for, progress=progress if verbose else None
+        )
+        return self.aggregate(results)
+
+    def map_scenes(
+        self, dataset: WholeSceneDataset, scene_fn, progress=None
+    ) -> list:
+        """Run `scene_fn(scene_id, coords, labels, weights, preds)` for every
+        scene (coords (S, npoints, 3), labels/weights/preds (S, npoints);
+        preds int64) on a worker pool, overlapped with the remaining
+        forwards, and return the results in dataset order. `progress`, if
+        given, is called with each result as it settles. Shared by
+        evaluate() (scene_fn = metrics) and the visualize CLI (scene_fn =
+        dedup + PLY write).
+
+        Three-stage pipeline:
+
+          tiler thread  ->  column batcher + device queue  ->  scene_fn pool
 
         The reference dispatches each scene's column stack alone
         (scripts/eval.py:27-38), leaving the trailing minibatch mostly
@@ -332,13 +385,17 @@ class WholeSceneEvaluator:
         columns are PACKED ACROSS SCENE BOUNDARIES into full fixed-size
         batches (one compiled shape, no padding waste except the global
         tail), up to `depth` batches ride the async dispatch queue while the
-        host packs the next ones, and each finished scene's voxel metrics run
+        host packs the next ones, and each finished scene's scene_fn runs
         on a thread pool overlapped with the remaining forwards.
 
-        Index streaming: each scene's features upload ONCE into a W-slot
-        device ring; per-batch traffic is the int32 resample indices only,
-        and the column batch is rebuilt by an on-device gather — the
-        host->device link (the usual eval bottleneck) carries ~2x less.
+        Descriptor dispatch: each scene's features AND local resample
+        indices upload ONCE into a W-slot device ring (producer thread, so
+        the copies overlap compute); per-batch traffic is a (B, 2) int32
+        (slot, column) descriptor — 8 bytes/row instead of 4*npoints — and
+        the column batch is rebuilt by on-device gathers. Measured on the
+        real chip: 29 vs 42.5 ms/batch pipelined against shipping full
+        index rows per dispatch (the tunnel serializes host args on the
+        dispatch path).
         """
         import queue
         import threading
@@ -346,47 +403,76 @@ class WholeSceneEvaluator:
 
         import jax.numpy as jnp
 
+        if len(dataset) == 0:
+            # empty scene shard (multi-host with scenes % hosts != 0): no
+            # ring to build — the caller's end barrier still runs
+            return []
+
         B = self.batch_size
         depth = self.queue_depth  # in-flight device batches
         n_pad = dataset.max_points()
         C = dataset.cfg.input_channels + 3
-        W = self._pick_ring(dataset, n_pad, C, B, depth)
+        NP = dataset.cfg.npoints
+        ests = (
+            dataset.estimate_columns()
+            if hasattr(dataset, "estimate_columns")
+            else None
+        )
+        # estimate_columns is an UPPER bound (nx*ny grid cells >= non-empty
+        # columns), so S_cap rows always hold any scene's index block;
+        # rounded up to a multiple of 8 so near-identical datasets (e.g. the
+        # bench warm-up vs timed stores) share one compiled shape
+        S_cap = max(max(ests) if ests else 1, 1)
+        S_cap = (S_cap + 7) // 8 * 8
+        W = self._pick_ring(dataset, n_pad, C, B, depth, S_cap * NP * 4)
         self.last_ring_slots = W  # introspection/tests
-        fwd_idx, update_slot = self._build_indexed(W, n_pad, C)
+        fwd_desc, update_slot = self._build_indexed(W, n_pad, C, S_cap, NP)
         rep = None
         if self.mesh is not None:
             from pointnet2_scannet_tpu.parallel.mesh import replicated
 
             rep = replicated(self.mesh)
         stack = jnp.zeros((W, n_pad, C), jnp.float32)
+        idx_ring = jnp.zeros((W, S_cap, NP), jnp.int32)
         if rep is not None:
             stack = jax.device_put(stack, rep)
+            idx_ring = jax.device_put(idx_ring, rep)
 
         q: queue.Queue = queue.Queue(maxsize=4)
         sentinel = object()
         error: list[BaseException] = []
 
         def producer():
-            # The scene upload (n_pad x C f32, ~5 MB at 100k pts) happens
-            # HERE, on the producer thread, so the host->device copy overlaps
-            # the main loop's forward dispatches instead of serializing with
-            # them (it was the largest critical-path item per scene: the
-            # tunnel moves ~60 MB/s).
+            # The scene upload (n_pad x C f32 features + S_cap x NP i32
+            # indices, ~5+2 MB at 100k pts) happens HERE, on the producer
+            # thread, so the host->device copy overlaps the main loop's
+            # forward dispatches instead of serializing with them (it is
+            # the largest critical-path item per scene: the tunnel moves
+            # ~100 MB/s with ~39 ms fixed latency per transfer). Features
+            # and indices pack into ONE uint32 buffer so each scene pays
+            # the fixed transfer latency once, not twice.
             try:
                 for sid, (feats_all, col_idx, labels, weights) in (
                     dataset.iter_scenes_indexed()
                 ):
                     coords = feats_all[:, :3][col_idx]  # (S, npoints, 3)
-                    padded = feats_all
-                    if feats_all.shape[0] < n_pad:
-                        padded = np.zeros((n_pad, C), np.float32)
-                        padded[: feats_all.shape[0]] = feats_all
+                    S = col_idx.shape[0]
+                    if S > S_cap:
+                        raise RuntimeError(
+                            f"scene {sid} tiled to {S} columns > S_cap "
+                            f"{S_cap} from estimate_columns upper bounds"
+                        )
+                    buf = np.zeros(n_pad * C + S_cap * NP, np.uint32)
+                    feats_part = buf[: n_pad * C].view(np.float32)
+                    feats_part[: feats_all.size] = feats_all.reshape(-1)
+                    idx_part = buf[n_pad * C :].view(np.int32)
+                    idx_part[: S * NP] = col_idx.reshape(-1)
                     dev = (
-                        jax.device_put(padded, rep)
+                        jax.device_put(buf, rep)
                         if rep is not None
-                        else jax.device_put(padded)
+                        else jax.device_put(buf)
                     )
-                    q.put((sid, dev, col_idx, coords, labels, weights))
+                    q.put((sid, dev, S, coords, labels, weights))
             except BaseException as e:  # noqa: BLE001 - re-raised below
                 error.append(e)
             finally:
@@ -396,7 +482,7 @@ class WholeSceneEvaluator:
 
         active: list[dict] = []  # scenes with columns still in flight/buffered
         futures: list = []
-        chunks: list[np.ndarray] = []  # (n, npoints) i32 global index pieces
+        chunks: list[np.ndarray] = []  # (n, 2) i32 (slot, column) desc pieces
         assigns: list[tuple[dict, int, int, int]] = []  # (scene, s0, b0, n)
         buffered = 0
         inflight: list[tuple[object, list, int]] = []  # (device preds, assigns, rows)
@@ -410,7 +496,7 @@ class WholeSceneEvaluator:
                 if scene["remaining"] == 0:
                     futures.append(
                         pool.submit(
-                            self._metrics_for,
+                            scene_fn,
                             scene["id"],
                             scene["coords"],
                             scene["labels"],
@@ -448,7 +534,9 @@ class WholeSceneEvaluator:
                 if rows < B:
                     pad = np.zeros((B - rows,) + batch.shape[1:], batch.dtype)
                     batch = np.concatenate([batch, pad], axis=0)
-                preds_dev = fwd_idx(self.variables, stack, batch)  # async
+                preds_dev = fwd_desc(
+                    self.variables, stack, idx_ring, batch
+                )  # async
                 inflight.append((preds_dev, batch_assigns, rows))
                 while len(inflight) > (0 if flush and buffered == 0 else depth):
                     drain_oldest(pool)
@@ -457,15 +545,10 @@ class WholeSceneEvaluator:
 
         def report_progress(final: bool = False):
             nonlocal printed
-            if not verbose:
+            if progress is None:
                 return
             while printed < len(futures) and (final or futures[printed].done()):
-                r = futures[printed].result()
-                vm = float(
-                    np.sum(r.voxel_miou * r.miou_mask)
-                    / max(np.sum(r.miou_mask), 1)
-                )
-                print(f"{r.scene_id}: point_acc {r.point_acc:.4f} voxel_miou {vm:.4f}")
+                progress(futures[printed].result())
                 printed += 1
 
         with ThreadPoolExecutor(max_workers=3) as pool:
@@ -476,7 +559,7 @@ class WholeSceneEvaluator:
                     if error:
                         raise error[0]
                     break
-                scene_id, dev_scene, col_idx, coords, labels, weights = item
+                scene_id, dev_buf, S, coords, labels, weights = item
                 slot = seq % W
                 # slot reuse safety: nothing buffered or in flight may still
                 # reference the scene being evicted from this slot
@@ -485,19 +568,21 @@ class WholeSceneEvaluator:
                     dispatch(pool, flush=True)
                     while inflight:
                         drain_oldest(pool)
-                stack = update_slot(stack, dev_scene, slot)
-                S = col_idx.shape[0]
+                stack, idx_ring = update_slot(stack, idx_ring, dev_buf, slot)
                 scene = {
                     "id": scene_id,
                     "seq": seq,
                     "coords": coords,
                     "labels": labels,
                     "weights": weights,
-                    "preds": np.empty((S, col_idx.shape[1]), np.int64),
+                    "preds": np.empty((S, NP), np.int64),
                     "remaining": S,
                 }
                 active.append(scene)
-                chunks.append((col_idx + slot * n_pad).astype(np.int32))
+                desc = np.empty((S, 2), np.int32)
+                desc[:, 0] = slot
+                desc[:, 1] = np.arange(S, dtype=np.int32)
+                chunks.append(desc)
                 assigns.append((scene, 0, 0, S))
                 buffered += S
                 seq += 1
@@ -509,7 +594,7 @@ class WholeSceneEvaluator:
             results = [f.result() for f in futures]
             report_progress(final=True)
 
-        return self.aggregate(results)
+        return results
 
     def aggregate(self, results: list[SceneResult]) -> EvalReport:
         """Masked per-class averaging over scenes (eval.py:194-206)."""

@@ -86,17 +86,25 @@ def visualize(args) -> None:
     preds_dir = run_dir / "preds"
     preds_dir.mkdir(exist_ok=True)
     palette = np.asarray(PALETTE, np.uint8)
-    for scene_id, (feats, labels, weights) in dataset.iter_scenes():
-        preds = evaluator.predict_scene(feats)
-        coords = feats[..., :3].reshape(-1, 3)
-        flat_preds = preds.reshape(-1)
+
+    # streamed through the evaluator's descriptor pipeline: each scene's
+    # features+indices upload once, forwards pack across scene boundaries,
+    # and the dedup+PLY write runs on the worker pool overlapped with the
+    # remaining forwards (same machinery as evaluate(), scene_fn swapped)
+    def write_scene(scene_id, coords, labels, weights, preds):
         coords_u, preds_u, _, _ = filter_points(
-            coords, flat_preds, labels.reshape(-1), weights.reshape(-1)
+            coords.reshape(-1, 3), preds.reshape(-1),
+            labels.reshape(-1), weights.reshape(-1),
         )
         colors = palette[np.clip(preds_u, 0, len(palette) - 1)]
         out = preds_dir / f"{scene_id}.ply"
         write_ply_points(out, coords_u, colors)
-        print(f"wrote {out} ({len(coords_u)} points)")
+        return out, len(coords_u)
+
+    evaluator.map_scenes(
+        dataset, write_scene,
+        progress=lambda r: print(f"wrote {r[0]} ({r[1]} points)"),
+    )
     ctx.barrier("visualize-end")
 
 

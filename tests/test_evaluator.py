@@ -295,3 +295,68 @@ class TestMeshEvaluator:
         )
         np.testing.assert_array_equal(got.point_acc, want.point_acc)
         np.testing.assert_array_equal(got.voxel_miou, want.voxel_miou)
+
+
+class TestMapScenes:
+    """map_scenes: the streamed pipeline with a caller-supplied scene_fn
+    (the visualize CLI's path — scene_fn = dedup + PLY write)."""
+
+    def test_custom_scene_fn_sees_evaluate_inputs(self):
+        store = make_synthetic_store(3, n_points=6_000)
+        cfg = DataConfig(npoints=256, use_color=True)
+        ev = WholeSceneEvaluator(
+            lambda v, pc, train=False: perfect_label_free_apply(pc), {},
+            batch_size=4,
+        )
+        got = ev.map_scenes(
+            WholeSceneDataset(store, cfg, seed=0),
+            lambda sid, coords, labels, weights, preds: (
+                sid, coords.shape, preds.shape, preds.dtype, int(preds.sum())
+            ),
+        )
+        # dataset order, shapes (S, npoints[, 3]), int64 preds
+        assert [r[0] for r in got] == list(store.scene_ids)
+        for _, cshape, pshape, pdtype, _ in got:
+            assert cshape == pshape + (3,)
+            assert cshape[1] == 256
+            assert pdtype == np.int64
+        # same preds as the metrics path: rebuild metrics from the raw preds
+        # and compare with evaluate() on an identically-seeded dataset
+        ds2 = WholeSceneDataset(store, cfg, seed=0)
+        report = ev.evaluate(ds2, verbose=False)
+        ds3 = WholeSceneDataset(store, cfg, seed=0)
+        raw = ev.map_scenes(
+            ds3, lambda sid, c, l, w, p: ev._metrics_for(sid, c, l, w, p)
+        )
+        for a, b in zip(report.scenes, raw):
+            assert a.scene_id == b.scene_id
+            np.testing.assert_array_equal(a.point_miou, b.point_miou)
+            assert a.point_acc == b.point_acc
+
+    def test_progress_callback_runs_per_scene(self):
+        store = make_synthetic_store(2, n_points=5_000)
+        ev = WholeSceneEvaluator(
+            lambda v, pc, train=False: perfect_label_free_apply(pc), {},
+            batch_size=4,
+        )
+        seen = []
+        ev.map_scenes(
+            WholeSceneDataset(store, DataConfig(npoints=128), seed=0),
+            lambda sid, c, l, w, p: sid,
+            progress=seen.append,
+        )
+        assert seen == list(store.scene_ids)
+
+    def test_empty_dataset_returns_empty(self):
+        # multi-host shard with scenes % hosts != 0: the empty-shard process
+        # must return [] without touching the ring machinery
+        store = make_synthetic_store(2, n_points=5_000).shard(
+            2, 3, equalize=False
+        )
+        assert len(store) == 0
+        ds = WholeSceneDataset(store, DataConfig(npoints=128), seed=0)
+        ev = WholeSceneEvaluator(
+            lambda v, pc, train=False: perfect_label_free_apply(pc), {},
+            batch_size=4,
+        )
+        assert ev.map_scenes(ds, lambda *a: a) == []
