@@ -72,7 +72,11 @@ def ball_query(
         if _auto_tile_m(M, N) * N <= 128 * 8192:
             return ball_query_pallas(float(radius), int(nsample), xyz, new_xyz)
     d2 = pairwise_sqdist(new_xyz, xyz, mode=dist_mode)  # (B, M, N)
-    valid = d2 < jnp.float32(radius) * jnp.float32(radius)
+    # radius^2 in the distance dtype: identical bits in f32 production, and
+    # under f64 it matches a double-precision reference's radius*radius
+    # (an f32-rounded constant promoted to f64 would misclassify d2 values
+    # inside the ~3e-9 band between the two constants)
+    valid = d2 < jnp.asarray(radius, d2.dtype) ** 2
     iota = lax.broadcasted_iota(jnp.int32, d2.shape, 2)
     masked = jnp.where(valid, iota, N)
     # smallest `nsample` indices == negated top_k of the negated indices

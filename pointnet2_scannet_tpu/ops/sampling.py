@@ -72,7 +72,11 @@ def furthest_point_sample(
             pass
 
     B, N, _ = xyz.shape
-    xyz = xyz.astype(jnp.float32)
+    # distances compute in f32 (the CUDA contract dtype) for every narrower
+    # input; an f64 input keeps f64 so high-precision parity tests can hold
+    # the whole forward in doubles (tests/test_reference_eval_parity.py)
+    dt = xyz.dtype if xyz.dtype == jnp.float64 else jnp.float32
+    xyz = xyz.astype(dt)
     sq = jnp.sum(xyz * xyz, axis=-1)  # (B, N)
     if skip_near_origin:
         valid = sq > 1e-3
@@ -84,13 +88,13 @@ def furthest_point_sample(
         p = jnp.take_along_axis(xyz, last[:, None, None], axis=1)  # (B,1,3)
         d = jnp.sum((xyz - p) ** 2, axis=-1)  # (B,N)
         mind = jnp.minimum(mind, d)
-        cand = jnp.where(valid, mind, jnp.float32(-1.0))
+        cand = jnp.where(valid, mind, jnp.asarray(-1.0, dt))
         best = jnp.argmax(cand, axis=-1).astype(jnp.int32)  # first max on ties
         idxs = lax.dynamic_update_slice(idxs, best[:, None], (0, j))
         return mind, best, idxs
 
     idxs0 = jnp.zeros((B, npoint), jnp.int32)
-    init = (jnp.full((B, N), 1e10, jnp.float32), jnp.zeros((B,), jnp.int32), idxs0)
+    init = (jnp.full((B, N), 1e10, dt), jnp.zeros((B,), jnp.int32), idxs0)
     _, _, idxs = lax.fori_loop(1, npoint, body, init)
     return idxs
 
