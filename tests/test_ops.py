@@ -412,3 +412,53 @@ def test_fp_module_interpolate_cached_flag_matches_default():
     finally:
         ops_config.interpolate_cached = False
     np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-6)
+
+
+class TestFloat64Geometry:
+    """f64 inputs keep f64 geometry (round 4).
+
+    fps historically force-cast to f32 and ball_query compared against an
+    f32-rounded radius^2 constant; both now preserve double precision so a
+    full-f64 forward matches a double-precision reference bit-for-bit
+    (tests/test_reference_eval_parity.py). f32 behavior is bit-identical
+    (covered by every other test in this file)."""
+
+    def _x64(self):
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            jax.config.update("jax_enable_x64", True)
+            try:
+                yield
+            finally:
+                jax.config.update("jax_enable_x64", False)
+
+        return ctx()
+
+    def test_fps_preserves_f64(self):
+        xyz = rand_cloud(2, 64).astype(np.float64)
+        with self._x64():
+            got = np.asarray(ops.furthest_point_sample(jnp.asarray(xyz), 16))
+        want = oracles.fps_oracle(xyz, 16)  # oracle math runs in f64
+        np.testing.assert_array_equal(got, want)
+
+    def test_ball_query_radius_constant_f64(self):
+        # plant a point whose squared distance lies BETWEEN f64(r)^2 and
+        # f32(r)*f32(r) (the f32-rounded square is ~3e-9 LARGER for r=0.3):
+        # with the constant built in the distance dtype the f64 compare must
+        # exclude it, matching a double-precision reference's r*r
+        r = 0.3
+        r2_64 = r * r
+        r2_32 = float(np.float32(r) * np.float32(r))
+        assert r2_32 > r2_64
+        d2_mid = (r2_64 + r2_32) / 2
+        xyz = np.zeros((1, 8, 3), np.float64)
+        xyz[0, :, 0] = np.arange(8)  # spread the rest far away
+        xyz[0, 3, 0] = np.sqrt(d2_mid)  # the boundary-band point
+        new_xyz = np.zeros((1, 1, 3), np.float64)
+        with self._x64():
+            got = np.asarray(ops.ball_query(r, 4, jnp.asarray(xyz), jnp.asarray(new_xyz)))
+        want = oracles.ball_query_oracle(r, 4, xyz, new_xyz)
+        np.testing.assert_array_equal(got, want)
+        assert 3 not in got[0, 0]  # the band point is OUTSIDE r*r in f64

@@ -105,11 +105,11 @@ class _InjectedWholeScene:
     reference dataset emitted (data/wholescene.py iter_scenes_indexed
     contract: feats_all + per-column resample indices)."""
 
-    def __init__(self, scenes):
-        # scenes: list of (sid, feats_all (n,3) f32, col_idx (S,NP) i32,
+    def __init__(self, scenes, input_channels=0):
+        # scenes: list of (sid, feats_all (n,3+C) f32, col_idx (S,NP) i32,
         #                  labels (S,NP) i32, weights (S,NP) f32)
         self._scenes = scenes
-        self.cfg = SimpleNamespace(input_channels=0, npoints=NP_COL)
+        self.cfg = SimpleNamespace(input_channels=input_channels, npoints=NP_COL)
 
     def __len__(self):
         return len(self._scenes)
@@ -125,16 +125,18 @@ class _InjectedWholeScene:
             yield sid, (feats_all, col_idx, labels, weights)
 
 
-@pytest.fixture(scope="module")
-def capture(tmp_path_factory):
-    """Reference-dataset column capture shared by both tiers."""
+def _make_capture(tmp_path_factory, use_multiview: bool):
+    """Capture the reference dataset's emitted columns + injection arrays."""
     scene_dir = tmp_path_factory.mktemp("eval_parity_scenes")
     rng = np.random.default_rng(42)
     scene_arrays = {}
+    mv_arrays = {}
     for i in range(3):
         sid = f"scene{i:04d}_00"
         scene_arrays[sid] = _grid_scene(rng)
         np.save(scene_dir / f"{sid}.npy", scene_arrays[sid])
+        if use_multiview:
+            mv_arrays[sid] = rng.normal(size=(N_SCENE, 128)).astype(np.float32)
 
     _install_shims(str(scene_dir))
     import importlib.util
@@ -146,6 +148,14 @@ def capture(tmp_path_factory):
 
     ref_dataset.CONF.SCANNETV2_FILE = str(scene_dir) + "/{}.npy"
     ref_dataset.CONF.NUM_CLASSES = 20
+    if use_multiview:
+        import h5py
+
+        mv_path = str(scene_dir / "mv.hdf5")
+        with h5py.File(mv_path, "w") as f:
+            for sid, feats in mv_arrays.items():
+                f.create_dataset(sid, data=feats)
+        ref_dataset.CONF.MULTIVIEW = mv_path
 
     spec = importlib.util.spec_from_file_location(
         "ref_eval_fullstack", pathlib.Path("/root/reference/scripts/eval.py")
@@ -157,7 +167,7 @@ def capture(tmp_path_factory):
     np.random.seed(20260819)  # the reference resamples from global np.random
     ds = ref_dataset.ScannetDatasetWholeScene(
         scene_ids, npoints=NP_COL, is_weighting=True,
-        use_color=False, use_normal=False, use_multiview=False,
+        use_color=False, use_normal=False, use_multiview=use_multiview,
     )
     batches = [ref_dataset.collate_wholescene([ds[i]]) for i in range(len(scene_ids))]
 
@@ -166,24 +176,45 @@ def capture(tmp_path_factory):
         coords_t, feats_t, segs_t, weights_t, _ = batches[i]
         pts = coords_t.numpy()[0]  # (S, NP, 3) f32
         xyz_all = scene_arrays[sid][:, :3]  # f32, rows gathered unchanged
+        feats_all = (
+            np.concatenate([xyz_all, mv_arrays[sid]], axis=1)
+            if use_multiview
+            else xyz_all
+        ).astype(np.float32)
         lookup = {xyz_all[j].tobytes(): j for j in range(xyz_all.shape[0])}
         col_idx = np.empty(pts.shape[:2], np.int32)
         flat = pts.reshape(-1, 3)
         for k in range(flat.shape[0]):
             col_idx.reshape(-1)[k] = lookup[flat[k].tobytes()]
-        # the recovered indices must reproduce the reference's columns
-        # bit-for-bit — otherwise the "identical inputs" premise is void
-        assert np.array_equal(xyz_all[col_idx], pts)
+        # the recovered indices must reproduce the reference's columns —
+        # EVERY channel — bit-for-bit, or the identical-inputs premise
+        # is void
+        assert np.array_equal(feats_all[col_idx][..., :3], pts)
+        if use_multiview:
+            assert np.array_equal(feats_all[col_idx][..., 3:], feats_t.numpy()[0])
         injected.append(
             (
                 sid,
-                xyz_all.astype(np.float32),
+                feats_all,
                 col_idx,
                 segs_t.numpy()[0].astype(np.int32),
                 weights_t.numpy()[0].astype(np.float32),
             )
         )
     return ref_eval, batches, injected, scene_ids
+
+
+@pytest.fixture(scope="module")
+def capture(tmp_path_factory):
+    """xyz-only capture shared by the stub and converted-model tiers."""
+    return _make_capture(tmp_path_factory, use_multiview=False)
+
+
+@pytest.fixture(scope="module")
+def capture_mv(tmp_path_factory):
+    """131-channel (xyz + 128 multiview) capture — the eval shape of the
+    reference's 65.75-mIoU recipe (reference README.md:11)."""
+    return _make_capture(tmp_path_factory, use_multiview=True)
 
 
 def _patch_cuda(monkeypatch):
@@ -231,9 +262,10 @@ def _ref_aggregate(ref_out):
     )
 
 
-def _run_ours(apply_fn, variables, injected, scene_preds_out=None):
+def _run_ours(apply_fn, variables, injected, scene_preds_out=None,
+              input_channels=0):
     ev = WholeSceneEvaluator(apply_fn, variables, batch_size=BATCH)
-    ds = _InjectedWholeScene(injected)
+    ds = _InjectedWholeScene(injected, input_channels=input_channels)
 
     def scene_fn(sid, coords, labels, weights, preds):
         if scene_preds_out is not None:
@@ -285,8 +317,7 @@ def test_fullstack_exact_with_deterministic_model(capture, monkeypatch):
     _assert_report(_ref_aggregate(ref_out), report, exact=True)
 
 
-@pytest.mark.parametrize("is_msg", [False, True], ids=["ssg", "msg"])
-def test_fullstack_converted_model(capture, monkeypatch, is_msg):
+def _converted_model_tier(cap, monkeypatch, *, is_msg, input_channels):
     """Real-model tier: reference torch SSG/MSG vs converted flax weights.
 
     Both forwards run in f64 (inputs stay the captured f32 values,
@@ -294,15 +325,16 @@ def test_fullstack_converted_model(capture, monkeypatch, is_msg):
     difference is an exact f64 logit tie — and the op layer's index
     contracts (tie-breaks included) are already pinned exactly, so preds
     must be EQUAL and the reports match at the exact-tier gate."""
-    ref_eval, batches, injected, scene_ids = capture
+    ref_eval, batches, injected, scene_ids = cap
     _patch_cuda(monkeypatch)
 
     mods = load_reference_modules()
     torch.manual_seed(0)
     tmodel = mods["semseg"].get_model(
-        num_classes=20, is_msg=is_msg, input_channels=0, use_xyz=True, bn=True
+        num_classes=20, is_msg=is_msg, input_channels=input_channels,
+        use_xyz=True, bn=True,
     )
-    spec = (models.msg_spec if is_msg else models.ssg_spec)(20, 0)
+    spec = (models.msg_spec if is_msg else models.ssg_spec)(20, input_channels)
     fmodel = models.PointNet2SemSeg(spec=spec)
     variables_np = convert_torch_pointnet2(
         {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}, spec
@@ -346,6 +378,7 @@ def test_fullstack_converted_model(capture, monkeypatch, is_msg):
             variables,
             injected,
             scene_preds_out=our_preds,
+            input_channels=input_channels,
         )
 
     for sid in scene_ids:
@@ -354,3 +387,16 @@ def test_fullstack_converted_model(capture, monkeypatch, is_msg):
 
     _assert_scene_metrics(ref_out, results, exact=True)
     _assert_report(_ref_aggregate(ref_out), report, exact=True)
+
+
+@pytest.mark.parametrize("is_msg", [False, True], ids=["ssg", "msg"])
+def test_fullstack_converted_model(capture, monkeypatch, is_msg):
+    _converted_model_tier(capture, monkeypatch, is_msg=is_msg, input_channels=0)
+
+
+def test_fullstack_converted_multiview(capture_mv, monkeypatch):
+    """131-channel (xyz + 128 ENet features) SSG — the eval column shape of
+    the reference's 65.75-mIoU multiview recipe (reference README.md:11)."""
+    _converted_model_tier(
+        capture_mv, monkeypatch, is_msg=False, input_channels=128
+    )
