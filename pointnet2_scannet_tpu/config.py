@@ -113,6 +113,14 @@ class TrainConfig:
     # shared quirk and the first suspect if real-data runs undershoot the
     # mIoU gates. --shuffle breaks the grouping.
     shuffle: bool = False
+    # device-resident scene store: upload every scene's assembled features +
+    # labels to HBM once and ship only (B, npoints) row indices + per-chunk
+    # augmentation params per step — the gather/augment/weight-lookup run
+    # inside the jitted step (data/resident.py). Execution-layout flag
+    # (identical math to the host path, tested); single-process dp-only runs;
+    # the Solver falls back with a warning when the store exceeds the HBM
+    # budget or the run shape doesn't support it.
+    device_store: bool = False
     # dispatch K sequential optimizer steps as ONE lax.scan program (exact
     # same math — see parallel.step.make_fused_train_step; removes per-step
     # host dispatch latency). 1 = per-batch dispatch; leftovers when the

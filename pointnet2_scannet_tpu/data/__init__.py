@@ -14,8 +14,18 @@ from pointnet2_scannet_tpu.data.chunks import ChunkedSceneDataset
 from pointnet2_scannet_tpu.data.wholescene import WholeSceneDataset
 from pointnet2_scannet_tpu.data.synthetic import make_synthetic_scene
 from pointnet2_scannet_tpu.data.pipeline import BatchLoader, prefetch_to_device
+from pointnet2_scannet_tpu.data.resident import (
+    ResidentBatchLoader,
+    flatten_store,
+    materialize_batch,
+    store_nbytes,
+)
 
 __all__ = [
+    "ResidentBatchLoader",
+    "flatten_store",
+    "materialize_batch",
+    "store_nbytes",
     "SceneStore",
     "compute_label_weights",
     "assemble_features",

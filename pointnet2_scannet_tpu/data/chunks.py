@@ -37,24 +37,39 @@ def _rotation_matrix(rng: np.random.Generator, pi: float) -> np.ndarray:
     return rz @ ry @ rx
 
 
+def draw_augment_params(
+    rng: np.random.Generator, *, pi_3_14: bool = True
+) -> tuple[np.ndarray | None, np.ndarray | None, float | None]:
+    """Draw one chunk's (rotation, translation, scale) with the reference's
+    8-way case split (lib/dataset.py:104-138). Inactive transforms return
+    None. The draw ORDER (case, then t, then R's three angles, then s)
+    matches augment_coords' historical stream, so a resident-store loader
+    consuming params directly reproduces the host path's rng sequence."""
+    pi = 3.14 if pi_3_14 else float(np.pi)
+    case = rng.integers(0, 8)
+    do_t = case in (1, 4, 5, 7)
+    do_r = case in (2, 4, 6, 7)
+    do_s = case in (3, 5, 6, 7)
+    t = rng.uniform(-0.5, 0.5, size=3) if do_t else None
+    rot = _rotation_matrix(rng, pi) if do_r else None
+    s = float(rng.uniform(0.95, 1.05)) if do_s else None
+    return rot, t, s
+
+
 def augment_coords(
     coords: np.ndarray, rng: np.random.Generator, *, pi_3_14: bool = True
 ) -> np.ndarray:
     """Randomly translate/rotate/scale chunk coordinates about their centroid
     with the reference's 8-way case split (lib/dataset.py:104-138)."""
-    pi = 3.14 if pi_3_14 else float(np.pi)
     center = coords.mean(axis=0)
     out = coords - center
-    case = rng.integers(0, 8)
-    do_t = case in (1, 4, 5, 7)
-    do_r = case in (2, 4, 6, 7)
-    do_s = case in (3, 5, 6, 7)
-    if do_t:
-        out = out + rng.uniform(-0.5, 0.5, size=3)
-    if do_r:
-        out = (_rotation_matrix(rng, pi) @ out.T).T
-    if do_s:
-        out = out * rng.uniform(0.95, 1.05)
+    rot, t, s = draw_augment_params(rng, pi_3_14=pi_3_14)
+    if t is not None:
+        out = out + t
+    if rot is not None:
+        out = (rot @ out.T).T
+    if s is not None:
+        out = out * s
     return (out + center).astype(np.float32)
 
 
@@ -68,6 +83,7 @@ class ChunkedSceneDataset:
         *,
         phase: str = "train",
         seed: int = 0,
+        resident: bool = False,
     ):
         assert phase in ("train", "val", "test")
         self.store = store
@@ -77,7 +93,17 @@ class ChunkedSceneDataset:
         # separate stream for chunk generation so the async regen thread
         # never races the main thread's augmentation draws
         self.chunk_rng = np.random.default_rng(seed + 0x5EED)
-        # scene_id -> (chunk (n, 11), multiview (n, 128) | None)
+        # resident mode (Solver device_store): chunk regen keeps ROW INDICES
+        # into the device-resident flat scene store instead of materializing
+        # feature arrays — get_item_resident then ships (rows, aug params)
+        # and the gather + augmentation run inside the jitted step. Both
+        # modes draw from identical rng streams, so a host-mode dataset at
+        # the same seed produces the same chunks/augmentations (tested:
+        # tests/test_resident.py).
+        self.resident = resident
+        self._offsets: dict[str, int] | None = None
+        # scene_id -> (chunk (n, 11), multiview (n, 128) | None), or
+        # scene_id -> scene-local resampled rows (npoints,) in resident mode
         self.chunks: dict[str, tuple[np.ndarray, np.ndarray | None]] = {}
         self._next: dict[str, tuple[np.ndarray, np.ndarray | None]] | None = None
         self._regen_thread = None
@@ -133,6 +159,7 @@ class ChunkedSceneDataset:
 
             xyz32 = np.ascontiguousarray(scene[:, :3], np.float32)
             cur = None
+            cur_rows = None
             for _ in range(cfg.chunk_retries):
                 center = scene[self.chunk_rng.integers(len(scene)), :3]
                 curmin = (center - [half_xy, half_xy, 1.5]).astype(np.float32)
@@ -143,8 +170,15 @@ class ChunkedSceneDataset:
                 inside, n_annotated, n_occupied = native.chunk_scan(
                     xyz32, semantic, curmin, curmax, cfg.chunk_margin
                 )
-                cur = (scene[inside], mv[inside] if mv is not None else None)
-                n_inside = len(cur[0])
+                if self.resident:
+                    # rows only — no feature materialization; flatnonzero's
+                    # ascending order matches scene[inside]'s row order, so
+                    # the resample `choice` below selects identical points
+                    cur_rows = np.flatnonzero(inside)
+                    n_inside = len(cur_rows)
+                else:
+                    cur = (scene[inside], mv[inside] if mv is not None else None)
+                    n_inside = len(cur[0])
                 if n_inside == 0:
                     continue
                 annotated = n_annotated / n_inside
@@ -155,6 +189,10 @@ class ChunkedSceneDataset:
                 ):
                     break
 
+            if self.resident:
+                choice = self.chunk_rng.integers(0, len(cur_rows), size=cfg.npoints)
+                out[sid] = cur_rows[choice]
+                continue
             chunk, chunk_mv = cur
             choice = self.chunk_rng.integers(0, len(chunk), size=cfg.npoints)
             out[sid] = (
@@ -163,12 +201,56 @@ class ChunkedSceneDataset:
             )
         return out
 
+    def scene_offsets(self) -> dict[str, int]:
+        """Scene start rows in the flattened (scene_ids-order) store — the
+        global row space of data.resident.flatten_store."""
+        if self._offsets is None:
+            offs, o = {}, 0
+            for sid in self.store.scene_ids:
+                offs[sid] = o
+                o += len(self.store.scenes[sid])
+            self._offsets = offs
+        return self._offsets
+
+    @property
+    def augmenting(self) -> bool:
+        return self.phase == "train" and self.cfg.augment
+
+    def get_item_resident(
+        self, index: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+        """One resident-mode sample: (global store rows (npoints,) int32,
+        rotation (3, 3) f32, translation (3,) f32, scale f32).
+
+        Draws from the same rng stream, at the same call sites, as
+        get_item's host path — identity params stand in for inactive
+        transforms (t=0, R=I, s=1 compose to the same coords)."""
+        sid = self.store.scene_ids[index]
+        if sid not in self.chunks:
+            raise RuntimeError("call generate_chunks() before sampling items")
+        rows = self.chunks[sid]
+        if self.augmenting:
+            rot, t, s = draw_augment_params(self.rng)
+        else:
+            rot, t, s = None, None, None
+        return (
+            (self.scene_offsets()[sid] + rows).astype(np.int32),
+            np.eye(3, dtype=np.float32) if rot is None else rot.astype(np.float32),
+            np.zeros(3, np.float32) if t is None else t.astype(np.float32),
+            np.float32(1.0) if s is None else np.float32(s),
+        )
+
     def get_item(self, index: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """One sample: (features (npoints, 3+C), labels (npoints,),
         weights (npoints,)) — lib/dataset.py:61-94."""
         sid = self.store.scene_ids[index]
         if sid not in self.chunks:
             raise RuntimeError("call generate_chunks() before sampling items")
+        if self.resident:
+            raise RuntimeError(
+                "dataset is in resident mode (row indices, no materialized "
+                "chunks) — use get_item_resident"
+            )
         chunk, mv = self.chunks[sid]
         cfg = self.cfg
         feats = assemble_features(

@@ -45,6 +45,8 @@ from pointnet2_scannet_tpu.parallel.step import (
     make_fused_train_step,
     make_parallel_eval_step,
     make_parallel_train_step,
+    make_resident_fused_train_step,
+    make_resident_train_step,
     make_sharded_eval_step,
     make_sharded_train_step,
     make_shardmap_eval_step,
@@ -63,6 +65,15 @@ EPOCH_REPORT = (
     "val voxel_miou {val_voxel_miou:.4f}"
 )
 BEST_REPORT = "best voxel_miou {voxel_miou:.4f} at epoch {epoch}"
+
+
+def _device_store_budget() -> int:
+    """HBM budget for the device-resident scene store (device_store mode).
+    Default 8 GiB — half a v5e chip's 16 GiB, leaving the other half for
+    activations/params/optimizer; PN2_DEVICE_STORE_BUDGET_GB overrides."""
+    import os
+
+    return int(float(os.environ.get("PN2_DEVICE_STORE_BUDGET_GB", "8")) * 2**30)
 
 
 class _NullLogger:
@@ -142,6 +153,52 @@ class Solver:
             if self.mesh.size > 1
             else None
         )
+
+        # device-resident scene store (the train-side descriptor dispatch,
+        # data/resident.py): gate the run shapes it supports and fall back
+        # to the host collate path with a warning otherwise — identical math
+        # either way (tested: tests/test_resident.py)
+        self.device_store = bool(getattr(tc, "device_store", False))
+        self._store_dev = None
+        if self.device_store:
+            reason = None
+            if not hasattr(train_dataset, "get_item_resident"):
+                reason = (
+                    "the train dataset has no resident mode (chunked "
+                    "training only)"
+                )
+            elif self.ctx.num_processes > 1:
+                reason = (
+                    "multi-process runs hold per-process scene shards; a "
+                    "replicated device store would need every shard on "
+                    "every host"
+                )
+            elif self.mesh.size > 1 and (
+                len(self.mesh.axis_names) != 1
+                or getattr(model, "bn_axis_name", None) != self.mesh.axis_names[0]
+            ):
+                reason = (
+                    "resident steps are single-device or shard_map_dp only "
+                    "(dp-only mesh with bn_axis_name set)"
+                )
+            else:
+                from pointnet2_scannet_tpu.data.resident import store_nbytes
+
+                nbytes = store_nbytes(train_dataset.store, config.data)
+                budget = _device_store_budget()
+                if nbytes > budget:
+                    reason = (
+                        f"flat store needs {nbytes / 2**30:.2f} GiB > budget "
+                        f"{budget / 2**30:.1f} GiB (set "
+                        "PN2_DEVICE_STORE_BUDGET_GB to raise)"
+                    )
+            if reason is not None:
+                self._say(
+                    f"WARNING: device_store disabled: {reason}", flush=True
+                )
+                self.device_store = False
+            else:
+                train_dataset.resident = True
 
         self._make_loaders(train_dataset, val_dataset, tc)
         # a per-step collective count mismatch across processes deadlocks
@@ -243,17 +300,54 @@ class Solver:
         self.fused_steps = max(int(getattr(tc, "fused_steps", 1) or 1), 1)
         self._fused_train_step = None
         self._fused_sharding = None
-        if self.fused_steps > 1 and isinstance(self.train_loader, BatchLoader):
-            self._fused_train_step = make_fused_train_step(
-                self.mesh,
-                num_classes=num_classes,
-                axis_name=(
-                    dp_axis if self.parallel_strategy == "shard_map_dp" else None
-                ),
-            )
+        fusable = isinstance(self.train_loader, BatchLoader) or self.device_store
+        if self.fused_steps > 1 and fusable:
+            if not self.device_store:
+                self._fused_train_step = make_fused_train_step(
+                    self.mesh,
+                    num_classes=num_classes,
+                    axis_name=(
+                        dp_axis if self.parallel_strategy == "shard_map_dp" else None
+                    ),
+                )
             if self.mesh.size > 1:
                 self._fused_sharding = fused_batch_sharding(
                     self.mesh, axis_name=self.mesh.axis_names[0]
+                )
+
+        if self.device_store:
+            # flatten + upload the store once (replicated: each device
+            # gathers its own batch shard's rows locally) and swap the train
+            # steps for the resident variants — the call sites are unchanged,
+            # the wrappers just thread the resident store through as a
+            # runtime argument (closing over the 5+ GB array would bake it
+            # into the executable as a constant)
+            from pointnet2_scannet_tpu.data.resident import flatten_store
+
+            pts, labels = flatten_store(train_dataset.store, config.data)
+            store = {
+                "points": pts,
+                "labels": labels,
+                "wtable": train_dataset.store.label_weights.astype(np.float32),
+            }
+            self._store_dev = (
+                jax.device_put(store, replicated(self.mesh))
+                if self.mesh.size > 1
+                else jax.device_put(store)
+            )
+            res_axis = dp_axis if self.parallel_strategy == "shard_map_dp" else None
+            res_step = make_resident_train_step(
+                self.mesh, num_classes=num_classes, axis_name=res_axis
+            )
+            self._train_step = lambda s, b, r, _f=res_step: _f(
+                s, self._store_dev, b, r
+            )
+            if self.fused_steps > 1:
+                res_fused = make_resident_fused_train_step(
+                    self.mesh, num_classes=num_classes, axis_name=res_axis
+                )
+                self._fused_train_step = lambda s, b, r, _f=res_fused: _f(
+                    s, self._store_dev, b, r
                 )
 
         self.logger = (
@@ -272,12 +366,21 @@ class Solver:
         if self.ctx.is_coordinator:
             print(*args, **kwargs)
 
+    @staticmethod
+    def _fused_group(item) -> int | None:
+        """K when `item` is a fused (K, ...)-stacked group, else None.
+        Host batches carry (B, NP, C) "points"; resident batches carry
+        (B, NP) "idx" — one rank lower, same leading-axis convention."""
+        if "points" in item:
+            return item["points"].shape[0] if item["points"].ndim == 4 else None
+        return item["idx"].shape[0] if item["idx"].ndim == 3 else None
+
     def _place_item(self, item):
         """Host batch -> device placement: plain put single-device, sharded
         put on a single-process mesh, global assembly from this process's
         local rows in multi-process runs. Fused (K, B, ...) groups shard
         axis 1; per-batch items shard axis 0."""
-        fused = item["points"].ndim == 4
+        fused = self._fused_group(item) is not None
         if self.ctx.num_processes > 1:
             return self.ctx.place(item, self.mesh, axis=1 if fused else 0)
         if self.mesh.size == 1:
@@ -297,10 +400,20 @@ class Solver:
         # compiled shape and mask the pad rows out of loss + metrics.
         # Multi-process: the datasets are this process's scene shard and the
         # loaders assemble LOCAL rows (batch_size/num_processes per batch).
-        self.train_loader = BatchLoader(
-            train_dataset, self.local_batch_size, seed=tc.seed, drop_last=True,
-            shuffle=tc.shuffle,
-        )
+        if getattr(self, "device_store", False):
+            from pointnet2_scannet_tpu.data.resident import ResidentBatchLoader
+
+            # resident batches (row indices + aug params); full batches only
+            # — the same drop_last semantics as the host train loader
+            self.train_loader = ResidentBatchLoader(
+                train_dataset, self.local_batch_size, seed=tc.seed,
+                shuffle=tc.shuffle,
+            )
+        else:
+            self.train_loader = BatchLoader(
+                train_dataset, self.local_batch_size, seed=tc.seed,
+                drop_last=True, shuffle=tc.shuffle,
+            )
         if len(self.train_loader) == 0:
             raise ValueError(
                 f"training dataset ({len(train_dataset)} items) yields zero "
@@ -476,7 +589,7 @@ class Solver:
             self._fused_group_stream(), place=self._place_item
         ):
             now = time.time()
-            k = item["points"].shape[0] if item["points"].ndim == 4 else 1
+            k = self._fused_group(item) or 1
             fetch_times.append((now - last) / k)  # per-step host wait
             # will this group's completion cross a verbose boundary? then it
             # is the one report-window dispatch we time for real

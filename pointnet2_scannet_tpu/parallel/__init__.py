@@ -28,6 +28,8 @@ from pointnet2_scannet_tpu.parallel.step import (
     make_sharded_train_step,
     make_sharded_eval_step,
     make_fused_train_step,
+    make_resident_train_step,
+    make_resident_fused_train_step,
 )
 
 __all__ = [
@@ -47,4 +49,6 @@ __all__ = [
     "make_sharded_train_step",
     "make_sharded_eval_step",
     "make_fused_train_step",
+    "make_resident_train_step",
+    "make_resident_fused_train_step",
 ]

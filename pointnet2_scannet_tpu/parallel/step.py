@@ -262,6 +262,108 @@ def make_shardmap_eval_step(mesh: Mesh, *, num_classes: int, axis_name: str = "d
     return jax.jit(mapped)
 
 
+def make_resident_train_step(
+    mesh: Mesh,
+    *,
+    num_classes: int,
+    axis_name: str | None = None,
+    donate: bool = True,
+):
+    """Train step over a device-resident scene store (Solver device_store).
+
+    fn(state, store, batch, rng) -> (state, stats): `store` is the flat
+    scene array dict (data.resident.flatten_store, replicated — every device
+    gathers its own batch shard's rows locally) and `batch` carries row
+    indices + augmentation params instead of materialized features
+    (data.resident.materialize_batch runs inside the jitted step, so the
+    gather/transform/weight-lookup fuse with the first SA consumers and the
+    host ships ~1 MB/step instead of ~9.4 MB at the flagship config).
+
+    axis_name set = the shard_map dp variant (same rationale as
+    make_shardmap_train_step; the model must carry bn_axis_name=axis_name).
+    The store is NEVER donated — it is reused every step of the run.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from pointnet2_scannet_tpu.data.resident import materialize_batch
+    from pointnet2_scannet_tpu.engine import train_state as ts
+
+    def step(state, store, batch, rng):
+        return ts.train_step(
+            state,
+            materialize_batch(store, batch),
+            rng,
+            num_classes=num_classes,
+            axis_name=axis_name,
+        )
+
+    donate_args = (0,) if donate else ()
+    if mesh.size == 1:
+        return jax.jit(step, donate_argnums=donate_args)
+    assert axis_name is not None and mesh.axis_names == (axis_name,), (
+        f"resident step wants a 1-axis ({axis_name},) mesh, got "
+        f"{mesh.axis_names} (the Solver gates device_store to single-device "
+        "and shard_map_dp runs)"
+    )
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P()),  # store replicated, batch split
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=donate_args)
+
+
+def make_resident_fused_train_step(
+    mesh: Mesh,
+    *,
+    num_classes: int,
+    axis_name: str | None = None,
+    donate: bool = True,
+):
+    """K resident-store train steps per lax.scan program: the fused-dispatch
+    form of make_resident_train_step (same semantics as
+    make_fused_train_step — batches leaves carry a leading (K, ...) axis,
+    stats come back stacked). The store rides as a scan-invariant reference;
+    each iteration gathers its own (B, npoints) rows from it on device, so
+    one dispatch ships K x ~1 MB of indices instead of K x ~9.4 MB of
+    features."""
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    from pointnet2_scannet_tpu.data.resident import materialize_batch
+    from pointnet2_scannet_tpu.engine import train_state as ts
+
+    def multi(state, store, batches, rng):
+        def body(st, batch):
+            return ts.train_step(
+                st,
+                materialize_batch(store, batch),
+                rng,
+                num_classes=num_classes,
+                axis_name=axis_name,
+            )
+
+        return lax.scan(body, state, batches)
+
+    donate_args = (0,) if donate else ()
+    if mesh.size == 1:
+        return jax.jit(multi, donate_argnums=donate_args)
+    assert axis_name is not None and mesh.axis_names == (axis_name,), (
+        f"fused resident step wants a 1-axis ({axis_name},) mesh, got "
+        f"{mesh.axis_names}"
+    )
+    mapped = jax.shard_map(
+        multi,
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, axis_name), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=donate_args)
+
+
 def make_shardmap_accum_step(mesh: Mesh, *, num_classes: int, axis_name: str = "dp"):
     """Gradient-accumulation micro-step (whole-scene training) as an explicit
     shard_map: per-shard sum-gradients/loss/count/cm psum'd to global values;

@@ -97,6 +97,12 @@ def main() -> None:
     ap.add_argument("--store", type=str, default="/tmp/hostpipe_scenes")
     ap.add_argument("--host_only", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--device_store", action="store_true",
+        help="solver probe uses the device-resident scene store "
+        "(train-side descriptor dispatch, data/resident.py)",
+    )
+    ap.add_argument("--fused_steps", type=int, default=1)
     args = ap.parse_args()
 
     if args.cpu:
@@ -188,7 +194,8 @@ def main() -> None:
         model=ModelConfig(is_msg=False),
         train=TrainConfig(
             batch_size=args.batch_size, epochs=args.epochs, lr=1e-3,
-            verbose=1000, seed=0,
+            verbose=1000, seed=0, device_store=args.device_store,
+            fused_steps=args.fused_steps,
         ),
     )
     train_ds = TimedDataset(store, cfg, phase="train", seed=0)

@@ -65,6 +65,7 @@ def build_config(args) -> "RunConfig":
             num_devices=args.num_devices,
             tp=args.tp if args.tp is not None else 1,
             shuffle=args.shuffle,
+            device_store=args.device_store,
             fused_steps=args.fused_steps,
             wholescene=args.use_wholescene,
             synthetic=args.synthetic,
@@ -199,6 +200,11 @@ def train(args) -> None:
             overrides["num_devices"] = None
         if args.verbose is not None:
             overrides["verbose"] = args.verbose
+        if args.device_store:
+            # execution-layout flag: identical math to the host collate path
+            # (the Solver falls back with a warning if the resuming host's
+            # run shape doesn't support it)
+            overrides["device_store"] = True
         if args.epoch is not None:
             overrides["epochs"] = max(args.epoch, cfg.train.epochs)
         if overrides:
@@ -350,6 +356,15 @@ def parse_args(argv=None):
         help="shuffle scene order across train batches each epoch (the "
         "reference keeps a FIXED order, scripts/train.py:26 — identical "
         "batch scene-composition every epoch; parity default off)",
+    )
+    p.add_argument(
+        "--device_store", action="store_true",
+        help="keep the whole train split's assembled features + labels "
+        "resident in HBM and ship only (B, npoints) row indices + "
+        "augmentation params per step — the gather/augment/weight-lookup "
+        "run inside the jitted step (~9x less host->device traffic, no host "
+        "collate; identical math to the host path). Single-process dp-only "
+        "chunked runs; auto-falls back with a warning otherwise",
     )
     p.add_argument(
         "--fused_steps", type=int, default=8,

@@ -1,0 +1,254 @@
+"""Device-resident scene store (train-side descriptor dispatch) parity.
+
+The resident path (data/resident.py + Solver device_store) must be
+semantically IDENTICAL to the host collate path: same rng streams (chunk
+resampling AND augmentation draws), bit-identical batches with augmentation
+off, f32-tolerance coords with it on (the host applies the rotation in f64
+numpy before casting, the device applies it in f32), and — through the
+Solver — the same per-step losses. The host path is itself parity-tested
+against the reference ScannetDataset (tests/test_reference_metrics_parity),
+so agreement here chains to the reference."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from pointnet2_scannet_tpu import models
+from pointnet2_scannet_tpu.config import DataConfig, ModelConfig, RunConfig, TrainConfig
+from pointnet2_scannet_tpu.data import (
+    BatchLoader,
+    ChunkedSceneDataset,
+    ResidentBatchLoader,
+    flatten_store,
+    materialize_batch,
+    store_nbytes,
+)
+from pointnet2_scannet_tpu.data.synthetic import make_synthetic_store
+from pointnet2_scannet_tpu.engine import Solver
+
+
+def _pair(cfg_data, *, n_scenes=4, n_points=4000, seed=0):
+    """(host dataset, resident dataset) over the same store + seeds, both
+    with chunks generated — their rng streams must line up draw-for-draw."""
+    store = make_synthetic_store(n_scenes=n_scenes, n_points=n_points)
+    host = ChunkedSceneDataset(store, cfg_data, phase="train", seed=seed)
+    res = ChunkedSceneDataset(
+        store, cfg_data, phase="train", seed=seed, resident=True
+    )
+    host.generate_chunks()
+    res.generate_chunks()
+    return store, host, res
+
+
+def _host_batch(host, idxs, cfg_data):
+    feats, labels, weights = zip(*(host.get_item(i) for i in idxs))
+    return np.stack(feats), np.stack(labels), np.stack(weights)
+
+
+def _resident_batch(res, idxs, *, augmenting):
+    items = [res.get_item_resident(i) for i in idxs]
+    idx, rot, trans, scale = (np.stack(c) for c in zip(*items))
+    batch = {"idx": idx, "row_mask": np.ones(len(idxs), np.float32)}
+    if augmenting:
+        batch.update(rot=rot, trans=trans, scale=scale)
+    return batch
+
+
+class TestMaterializeParity:
+    def test_no_augment_bit_exact(self):
+        cfg = DataConfig(npoints=512, use_color=True, use_normal=True, augment=False)
+        store, host, res = _pair(cfg)
+        pts, labels = flatten_store(store, cfg)
+        dstore = {
+            "points": pts,
+            "labels": labels,
+            "wtable": store.label_weights.astype(np.float32),
+        }
+        idxs = list(range(len(host)))
+        hf, hl, hw = _host_batch(host, idxs, cfg)
+        out = jax.jit(materialize_batch)(
+            dstore, _resident_batch(res, idxs, augmenting=False)
+        )
+        # gather + weight-table lookup are exact ops: every array must be
+        # bit-identical to the host collate
+        np.testing.assert_array_equal(np.asarray(out["points"]), hf)
+        np.testing.assert_array_equal(np.asarray(out["labels"]), hl)
+        np.testing.assert_array_equal(np.asarray(out["weights"]), hw)
+
+    def test_augment_same_stream_close_coords(self):
+        cfg = DataConfig(npoints=512, use_color=True, use_normal=True, augment=True)
+        store, host, res = _pair(cfg)
+        pts, labels = flatten_store(store, cfg)
+        dstore = {
+            "points": pts,
+            "labels": labels,
+            "wtable": store.label_weights.astype(np.float32),
+        }
+        idxs = list(range(len(host)))
+        hf, hl, hw = _host_batch(host, idxs, cfg)
+        rb = _resident_batch(res, idxs, augmenting=True)
+        # at least one sample must actually transform (case != 0) for this
+        # to test anything
+        assert any(not np.allclose(r, np.eye(3)) for r in rb["rot"]) or any(
+            t.any() for t in rb["trans"]
+        )
+        out = jax.jit(materialize_batch)(dstore, rb)
+        # coords: host rotates in f64 numpy then casts; device stays f32 —
+        # meter-scale coordinates agree to f32 roundoff
+        np.testing.assert_allclose(
+            np.asarray(out["points"])[..., :3], hf[..., :3], atol=5e-5, rtol=0
+        )
+        # non-coordinate feature columns ride through the gather untouched
+        np.testing.assert_array_equal(np.asarray(out["points"])[..., 3:], hf[..., 3:])
+        np.testing.assert_array_equal(np.asarray(out["labels"]), hl)
+        np.testing.assert_array_equal(np.asarray(out["weights"]), hw)
+
+    def test_resident_rows_reproduce_host_chunks(self):
+        """The regen row indices select exactly the host path's chunk points
+        (same chunk_rng stream, same flatnonzero ordering)."""
+        cfg = DataConfig(npoints=256, use_color=True, use_normal=True, augment=False)
+        store, host, res = _pair(cfg, n_scenes=3)
+        pts, _ = flatten_store(store, cfg)
+        for i, sid in enumerate(store.scene_ids):
+            feats, _, _ = host.get_item(i)
+            rows, _, _, _ = res.get_item_resident(i)
+            np.testing.assert_array_equal(pts[rows], feats)
+
+    def test_loader_shapes_and_keys(self):
+        cfg = DataConfig(npoints=128, use_color=True, use_normal=True, augment=True)
+        _, _, res = _pair(cfg, n_scenes=5, n_points=2000)
+        loader = ResidentBatchLoader(res, 2)
+        batches = list(loader)
+        assert len(loader) == len(batches) == 2  # drop_last: 5 // 2
+        b = batches[0]
+        assert b["idx"].shape == (2, 128) and b["idx"].dtype == np.int32
+        assert b["rot"].shape == (2, 3, 3)
+        assert b["trans"].shape == (2, 3)
+        assert b["scale"].shape == (2,)
+        # augment off -> the transform keys are omitted entirely so
+        # materialize_batch skips the transform (bit-exact path)
+        res.cfg = dataclasses.replace(res.cfg, augment=False)
+        b = next(iter(ResidentBatchLoader(res, 2)))
+        assert set(b) == {"idx", "row_mask"}
+
+    def test_store_nbytes(self):
+        cfg = DataConfig(use_color=True, use_normal=True)
+        store = make_synthetic_store(n_scenes=2, n_points=1000)
+        assert store_nbytes(store, cfg) == 2 * 1000 * (9 * 4 + 4)
+
+
+def _run_cfg(**train_kw):
+    train_kw = {"batch_size": 4, **train_kw}
+    return RunConfig(
+        tag="resident-test",
+        data=DataConfig(npoints=256, use_color=True, use_normal=True, augment=False),
+        model=ModelConfig(is_msg=False),
+        train=TrainConfig(epochs=2, lr=1e-3, verbose=0, seed=0, **train_kw),
+    )
+
+
+def _solver(cfg, store, tmp_path, sub, *, bn_axis=None):
+    train_ds = ChunkedSceneDataset(store, cfg.data, phase="train", seed=0)
+    model = models.get_model(
+        num_classes=cfg.model.num_classes,
+        is_msg=cfg.model.is_msg,
+        input_channels=cfg.data.input_channels,
+        bn_axis_name=bn_axis,
+    )
+    out = tmp_path / sub
+    return Solver(model, train_ds, None, cfg, out, compute_voxel_metrics=False)
+
+
+@pytest.mark.slow
+def test_solver_losses_match_host_path(tmp_path):
+    """device_store on (fused and per-batch) reproduces the host path's
+    per-step losses exactly: with augment off the materialized batches are
+    bit-identical, so every step is the same program on the same data."""
+    store = make_synthetic_store(n_scenes=8, n_points=4000)
+    runs = {}
+    for name, kw in {
+        "host": dict(num_devices=1, fused_steps=1),
+        "resident": dict(num_devices=1, fused_steps=1, device_store=True),
+        "resident_fused": dict(num_devices=1, fused_steps=2, device_store=True),
+    }.items():
+        solver = _solver(_run_cfg(**kw), store, tmp_path, name)
+        assert solver.device_store == kw.get("device_store", False)
+        solver(epochs=2, verbose=0)
+        runs[name] = [v for _, v in solver.logger.scalars["train/loss"]]
+    np.testing.assert_allclose(runs["resident"], runs["host"], rtol=1e-6)
+    np.testing.assert_allclose(runs["resident_fused"], runs["host"], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_solver_shardmap_dp_resident(tmp_path):
+    """The production shard_map_dp strategy composes with device_store on
+    the virtual 8-device mesh and matches the host shard_map run."""
+    store = make_synthetic_store(n_scenes=16, n_points=4000)
+    losses = {}
+    for name, ds in {"host": False, "resident": True}.items():
+        cfg = _run_cfg(num_devices=8, fused_steps=2, device_store=ds, batch_size=8)
+        solver = _solver(cfg, store, tmp_path, f"smdp_{name}", bn_axis="dp")
+        assert solver.parallel_strategy == "shard_map_dp"
+        assert solver.device_store == ds
+        solver(epochs=1, verbose=0)
+        losses[name] = [v for _, v in solver.logger.scalars["train/loss"]]
+    np.testing.assert_allclose(losses["resident"], losses["host"], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_cli_device_store(tmp_path):
+    """--device_store through the production train CLI on the virtual mesh:
+    the run trains with the resident store (no fallback warning), writes
+    artifacts, and --resume keeps the flag as an execution override."""
+    from tests.test_cli_integration import run_cli
+
+    out_root = tmp_path / "runs"
+    out = run_cli(
+        "scripts/train.py",
+        [
+            "--synthetic", "--synthetic_scenes", "8", "--batch_size", "8",
+            "--epoch", "1", "--npoints", "1024", "--use_color", "--use_normal",
+            "--verbose", "1", "--num_devices", "8", "--fused_steps", "2",
+            "--device_store", "--tag", "DS", "--output_root", str(out_root),
+        ],
+    )
+    assert "device_store disabled" not in out
+    assert "parallel strategy: shard_map_dp" in out
+    run_dir = next(out_root.glob("*_DS"))
+    assert (run_dir / "model_last.msgpack").exists()
+    cfg = (run_dir / "config.json").read_text()
+    assert '"device_store": true' in cfg
+    out = run_cli(
+        "scripts/train.py",
+        ["--resume", str(run_dir), "--epoch", "2", "--device_store"],
+    )
+    assert "device_store disabled" not in out
+
+
+def test_solver_device_store_fallbacks(tmp_path, monkeypatch):
+    store = make_synthetic_store(n_scenes=4, n_points=2000)
+    # budget gate: a zero budget must fall back to the host loader
+    monkeypatch.setenv("PN2_DEVICE_STORE_BUDGET_GB", "0")
+    solver = _solver(
+        _run_cfg(num_devices=1, device_store=True), store, tmp_path, "fb_budget"
+    )
+    assert solver.device_store is False
+    assert isinstance(solver.train_loader, BatchLoader)
+    monkeypatch.delenv("PN2_DEVICE_STORE_BUDGET_GB")
+    # dp x tp gate: resident steps are dp-only
+    cfg = _run_cfg(num_devices=8, tp=2, device_store=True, batch_size=4)
+    from pointnet2_scannet_tpu.parallel.mesh import make_mesh_2d
+
+    train_ds = ChunkedSceneDataset(store, cfg.data, phase="train", seed=0)
+    model = models.get_model(
+        num_classes=cfg.model.num_classes, is_msg=False,
+        input_channels=cfg.data.input_channels,
+    )
+    solver = Solver(
+        model, train_ds, None, cfg, tmp_path / "fb_tp",
+        mesh=make_mesh_2d(4, 2), compute_voxel_metrics=False,
+    )
+    assert solver.device_store is False
+    assert solver.parallel_strategy == "gspmd_dp_tp"
