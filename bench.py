@@ -11,7 +11,10 @@ train CLI's production dispatch mode (--fused_steps 8: K steps per fused
 lax.scan program — identical per-step math, tested; removes per-step
 dispatch latency). Extra fields:
   fused_steps          the fused-dispatch width the headline ran at
-  step_ms              SSG f32 per-step latency in fused mode (20-step mean)
+  step_ms              SSG f32 per-step latency in fused mode — MEDIAN of
+                       train_repeats independently timed windows, with
+                       *_min/*_max spread fields (single-draw train rows made
+                       BENCH_r04's 2.2x f32 outlier undiagnosable)
   step_ms_per_dispatch / step_ms_bf16_per_dispatch  one-dispatch-per-step
                        latencies (the pre-fusion numbers, for audit)
   ssg_bf16_points_per_sec / step_ms_bf16   the bf16 compute-dtype config
@@ -50,6 +53,7 @@ BATCH = 32
 FUSED = 8  # headline fused-dispatch width (the train CLI default --fused_steps)
 NPOINTS = 8192
 STEPS = 20
+TRAIN_REPEATS = 3  # timed windows per train row; rows report median + min/max
 
 
 def fwd_matmul_flops(spec, B: int, N: int) -> float:
@@ -88,8 +92,14 @@ def time_train(
     batch_size: int = BATCH,
     fused: int = 1,
     npoints: int | None = None,
-) -> float:
-    """Settled seconds per train step.
+    repeats: int = 1,
+) -> list[float]:
+    """Per-step seconds for `repeats` independently timed windows (sorted).
+
+    Callers take the MEDIAN as the settled number and report min/max as the
+    spread: a single window through the tunnel can be skewed by one slow
+    dispatch (BENCH_r04's 101 ms f32 draw vs r03's 46 ms on near-identical
+    code was unattributable because the train rows were single-draw).
 
     fused > 1 measures the production fused-dispatch path (the train CLI's
     default --fused_steps: K steps per lax.scan program,
@@ -150,11 +160,14 @@ def time_train(
     # quotient would be 2, and a single slow tunnel dispatch then skews the
     # mean by 25% (observed under host contention)
     calls = max(steps // fused, 4 if fused > 1 else 1)
-    t0 = time.perf_counter()
-    for _ in range(calls):
-        state, stats = step(state, batch, dropout_rng)
-    float(np.asarray(stats["loss"]).reshape(-1)[-1])
-    return (time.perf_counter() - t0) / (calls * fused)
+    draws = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(calls):
+            state, stats = step(state, batch, dropout_rng)
+        float(np.asarray(stats["loss"]).reshape(-1)[-1])
+        draws.append((time.perf_counter() - t0) / (calls * fused))
+    return sorted(draws)
 
 
 def eval_scenes_per_sec(n_scenes: int = 6, repeats: int = 3):
@@ -186,26 +199,35 @@ def main(scale: bool = False) -> None:
     # and don't care about process history.
     eps, eps_draws = eval_scenes_per_sec()
 
+    def med(draws: list[float]) -> float:
+        return draws[len(draws) // 2]
+
     ssg = models.get_model(num_classes=20, is_msg=False, input_channels=6)
     # headline: the train CLI's production path (--fused_steps 8, K steps per
-    # lax.scan program); per-dispatch numbers kept as audit fields
-    ssg_step_s = time_train(ssg, fused=FUSED)
+    # lax.scan program); per-dispatch numbers kept as audit fields. All train
+    # rows are median-of-TRAIN_REPEATS windows with min/max spread (same
+    # treatment the eval row got after its 6.4-7.9 single-draw variance).
+    ssg_draws = time_train(ssg, fused=FUSED, repeats=TRAIN_REPEATS)
+    ssg_step_s = med(ssg_draws)
     ssg_pps = BATCH * NPOINTS / ssg_step_s
-    ssg_disp_s = time_train(ssg)
+    ssg_disp_draws = time_train(ssg, repeats=TRAIN_REPEATS)
 
     ssg_bf16 = models.get_model(
         num_classes=20, is_msg=False, input_channels=6, dtype=jnp.bfloat16
     )
-    ssg_bf16_step_s = time_train(ssg_bf16, fused=FUSED)
+    ssg_bf16_draws = time_train(ssg_bf16, fused=FUSED, repeats=TRAIN_REPEATS)
+    ssg_bf16_step_s = med(ssg_bf16_draws)
     ssg_bf16_pps = BATCH * NPOINTS / ssg_bf16_step_s
-    ssg_bf16_disp_s = time_train(ssg_bf16)
+    ssg_bf16_disp_draws = time_train(ssg_bf16, repeats=TRAIN_REPEATS)
 
     msg = models.get_model(num_classes=20, is_msg=True, input_channels=6)
-    msg_pps = BATCH * NPOINTS / time_train(msg, fused=FUSED)
+    msg_draws = time_train(msg, fused=FUSED, repeats=TRAIN_REPEATS)
+    msg_pps = BATCH * NPOINTS / med(msg_draws)
     msg_bf16 = models.get_model(
         num_classes=20, is_msg=True, input_channels=6, dtype=jnp.bfloat16
     )
-    msg_bf16_pps = BATCH * NPOINTS / time_train(msg_bf16, fused=FUSED)
+    msg_bf16_draws = time_train(msg_bf16, fused=FUSED, repeats=TRAIN_REPEATS)
+    msg_bf16_pps = BATCH * NPOINTS / med(msg_bf16_draws)
 
     flops_fwd = fwd_matmul_flops(ssg.spec, BATCH, NPOINTS)
     print(
@@ -217,12 +239,25 @@ def main(scale: bool = False) -> None:
                 "vs_baseline": round(ssg_pps / BASELINE_POINTS_PER_SEC, 3),
                 "fused_steps": FUSED,
                 "step_ms": round(ssg_step_s * 1e3, 2),
+                "step_ms_min": round(ssg_draws[0] * 1e3, 2),
+                "step_ms_max": round(ssg_draws[-1] * 1e3, 2),
                 "step_ms_bf16": round(ssg_bf16_step_s * 1e3, 2),
-                "step_ms_per_dispatch": round(ssg_disp_s * 1e3, 2),
-                "step_ms_bf16_per_dispatch": round(ssg_bf16_disp_s * 1e3, 2),
+                "step_ms_bf16_min": round(ssg_bf16_draws[0] * 1e3, 2),
+                "step_ms_bf16_max": round(ssg_bf16_draws[-1] * 1e3, 2),
+                "step_ms_per_dispatch": round(med(ssg_disp_draws) * 1e3, 2),
+                "step_ms_per_dispatch_min": round(ssg_disp_draws[0] * 1e3, 2),
+                "step_ms_per_dispatch_max": round(ssg_disp_draws[-1] * 1e3, 2),
+                "step_ms_bf16_per_dispatch": round(
+                    med(ssg_bf16_disp_draws) * 1e3, 2
+                ),
                 "ssg_bf16_points_per_sec": round(ssg_bf16_pps, 1),
                 "msg_points_per_sec": round(msg_pps, 1),
+                "msg_step_ms_min": round(msg_draws[0] * 1e3, 2),
+                "msg_step_ms_max": round(msg_draws[-1] * 1e3, 2),
                 "msg_bf16_points_per_sec": round(msg_bf16_pps, 1),
+                "msg_bf16_step_ms_min": round(msg_bf16_draws[0] * 1e3, 2),
+                "msg_bf16_step_ms_max": round(msg_bf16_draws[-1] * 1e3, 2),
+                "train_repeats": TRAIN_REPEATS,
                 "model_tflops_fwd": round(flops_fwd / 1e12, 4),
                 "mfu_bf16": round(
                     3.0 * flops_fwd / ssg_bf16_step_s / V5E_BF16_PEAK, 4

@@ -51,6 +51,14 @@ def flatten_store(
     ChunkedSceneDataset.scene_offsets()."""
     counts = [len(store.scenes[sid]) for sid in store.scene_ids]
     total = sum(counts)
+    if total >= 2**31:
+        # descriptor rows are int32 (get_item_resident); past 2^31 the
+        # offsets wrap negative and jnp.take's clip mode would silently
+        # gather wrong rows instead of erroring
+        raise ValueError(
+            f"flattened store has {total} rows >= 2^31; int32 descriptor "
+            "indices would overflow — device_store cannot hold this dataset"
+        )
     pts = np.empty((total, 3 + cfg.input_channels), np.float32)
     labels = np.empty(total, np.int32)
     o = 0
@@ -117,22 +125,15 @@ class ResidentBatchLoader:
             yield batch
 
 
-def materialize_batch(store: dict, batch: dict) -> dict:
-    """Device-side batch assembly (runs inside the jitted train step):
-    gather points/labels from the flat store, apply the per-chunk
-    augmentation transform when params ride along, and look weights up from
-    the class-weight table (the host path's in-bbox mask is identically 1 —
+def _finish_batch(store: dict, batch: dict, pts, labels) -> dict:
+    """Shared tail of batch materialization: apply the per-chunk augmentation
+    transform when params ride along, and look weights up from the
+    class-weight table (the host path's in-bbox mask is identically 1 —
     lib/dataset.py:86-90, SURVEY quirk 2 — so weights = wtable[labels]
-    exactly).
-
-    store: {"points" (T, 3+C) f32, "labels" (T,) i32, "wtable" (K,) f32}.
-    Transform order matches chunks.augment_coords: center, +t, rotate,
-    *s, uncenter."""
+    exactly). Transform order matches chunks.augment_coords: center, +t,
+    rotate, *s, uncenter."""
     import jax.numpy as jnp
 
-    idx = batch["idx"]
-    pts = jnp.take(store["points"], idx, axis=0)  # (B, NP, 3+C)
-    labels = jnp.take(store["labels"], idx, axis=0)  # (B, NP)
     if "rot" in batch:
         xyz = pts[..., :3]
         center = jnp.mean(xyz, axis=1, keepdims=True)
@@ -148,3 +149,69 @@ def materialize_batch(store: dict, batch: dict) -> dict:
         "weights": weights,
         "row_mask": batch["row_mask"],
     }
+
+
+def materialize_batch(store: dict, batch: dict) -> dict:
+    """Device-side batch assembly (runs inside the jitted train step):
+    gather points/labels from the flat (replicated) store, then augment +
+    weight-lookup.
+
+    store: {"points" (T, 3+C) f32, "labels" (T,) i32, "wtable" (K,) f32}."""
+    import jax.numpy as jnp
+
+    idx = batch["idx"]
+    pts = jnp.take(store["points"], idx, axis=0)  # (B, NP, 3+C)
+    labels = jnp.take(store["labels"], idx, axis=0)  # (B, NP)
+    return _finish_batch(store, batch, pts, labels)
+
+
+def pad_store_rows(
+    pts: np.ndarray, labels: np.ndarray, n_shards: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-pad the flat store to a row count divisible by `n_shards` (the
+    dp-sharded placement splits rows evenly; descriptors only ever reference
+    real rows, so the pad rows are dead weight on the last shard)."""
+    total = pts.shape[0]
+    pad = -total % n_shards
+    if pad:
+        pts = np.concatenate([pts, np.zeros((pad,) + pts.shape[1:], pts.dtype)])
+        labels = np.concatenate([labels, np.zeros(pad, labels.dtype)])
+    return pts, labels
+
+
+def materialize_batch_sharded(store: dict, batch: dict, axis_name: str) -> dict:
+    """Per-device shard_map body for a ROW-SHARDED store: HBM capacity scales
+    with the mesh (T/dp rows per device) instead of replicating the full
+    store, unlocking device_store for recipes whose flat store exceeds one
+    chip's budget (the 131-channel multiview store is ~63 GB at
+    1201 x 100k x 131 — VERDICT r4 weak #2).
+
+    store holds THIS DEVICE's row block ("points" (T/dp, 3+C), "labels"
+    (T/dp,)) plus the replicated "wtable"; batch is this device's descriptor
+    shard with GLOBAL row ids. Global id -> (owner, local row) is a
+    static-shape divmod by the block size; each device gathers the rows it
+    owns for EVERY device's requests (all_gather of the small index block),
+    and one psum_scatter over ICI returns exactly this device's materialized
+    (B/dp, NP, 3+C) shard — the tiled all_gather/psum_scatter pair keeps
+    block d of the batch on device d, so the result aligns with this shard's
+    own augmentation params. Cross-device traffic per step is the gathered
+    feature block itself (~B x NP x C floats), which replaces the same bytes
+    of host->device traffic the replicated path would re-upload as features;
+    index traffic is B x NP i32."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    idx = batch["idx"]  # (B_loc, NP) global store rows
+    t_loc = store["points"].shape[0]
+    me = lax.axis_index(axis_name)
+    idx_all = lax.all_gather(idx, axis_name, axis=0, tiled=True)  # (B, NP)
+    owner = idx_all // t_loc
+    local = idx_all % t_loc
+    mine = owner == me
+    pts_c = jnp.where(
+        mine[..., None], jnp.take(store["points"], local, axis=0), 0.0
+    )
+    lab_c = jnp.where(mine, jnp.take(store["labels"], local, axis=0), 0)
+    pts = lax.psum_scatter(pts_c, axis_name, scatter_dimension=0, tiled=True)
+    labels = lax.psum_scatter(lab_c, axis_name, scatter_dimension=0, tiled=True)
+    return _finish_batch(store, batch, pts, labels)

@@ -46,6 +46,8 @@ from pointnet2_scannet_tpu.parallel.step import (
     make_parallel_eval_step,
     make_parallel_train_step,
     make_resident_fused_train_step,
+    make_resident_sharded_fused_train_step,
+    make_resident_sharded_train_step,
     make_resident_train_step,
     make_sharded_eval_step,
     make_sharded_train_step,
@@ -160,6 +162,7 @@ class Solver:
         # either way (tested: tests/test_resident.py)
         self.device_store = bool(getattr(tc, "device_store", False))
         self._store_dev = None
+        self._store_sharded = False
         if self.device_store:
             reason = None
             if not hasattr(train_dataset, "get_item_resident"):
@@ -186,7 +189,23 @@ class Solver:
 
                 nbytes = store_nbytes(train_dataset.store, config.data)
                 budget = _device_store_budget()
-                if nbytes > budget:
+                if nbytes > budget and self.mesh.size > 1:
+                    # row-shard the store over dp: each device holds T/dp
+                    # rows (capacity x mesh size), descriptor ids resolve to
+                    # (owner, local-row) inside the shard_map step
+                    # (data/resident.materialize_batch_sharded). Replicated
+                    # placement stays the default for stores that fit one
+                    # device — no per-step ICI exchange.
+                    if nbytes <= budget * self.mesh.size:
+                        self._store_sharded = True
+                    else:
+                        reason = (
+                            f"flat store needs {nbytes / 2**30:.2f} GiB > "
+                            f"budget {budget / 2**30:.1f} GiB even row-"
+                            f"sharded over {self.mesh.size} devices (set "
+                            "PN2_DEVICE_STORE_BUDGET_GB to raise)"
+                        )
+                elif nbytes > budget:
                     reason = (
                         f"flat store needs {nbytes / 2**30:.2f} GiB > budget "
                         f"{budget / 2**30:.1f} GiB (set "
@@ -316,36 +335,65 @@ class Solver:
                 )
 
         if self.device_store:
-            # flatten + upload the store once (replicated: each device
-            # gathers its own batch shard's rows locally) and swap the train
-            # steps for the resident variants — the call sites are unchanged,
-            # the wrappers just thread the resident store through as a
-            # runtime argument (closing over the 5+ GB array would bake it
-            # into the executable as a constant)
-            from pointnet2_scannet_tpu.data.resident import flatten_store
+            # flatten + upload the store once and swap the train steps for
+            # the resident variants — the call sites are unchanged, the
+            # wrappers just thread the resident store through as a runtime
+            # argument (closing over the 5+ GB array would bake it into the
+            # executable as a constant). Placement: replicated when the
+            # store fits one device's budget (each device gathers its batch
+            # shard's rows locally, no exchange), row-sharded over dp when
+            # it only fits the MESH's aggregate budget (capacity x dp; the
+            # step runs an all_gather/psum_scatter exchange per batch —
+            # data/resident.materialize_batch_sharded).
+            from pointnet2_scannet_tpu.data.resident import (
+                flatten_store,
+                pad_store_rows,
+            )
 
             pts, labels = flatten_store(train_dataset.store, config.data)
-            store = {
-                "points": pts,
-                "labels": labels,
-                "wtable": train_dataset.store.label_weights.astype(np.float32),
-            }
-            self._store_dev = (
-                jax.device_put(store, replicated(self.mesh))
-                if self.mesh.size > 1
-                else jax.device_put(store)
-            )
+            wtable = train_dataset.store.label_weights.astype(np.float32)
             res_axis = dp_axis if self.parallel_strategy == "shard_map_dp" else None
-            res_step = make_resident_train_step(
-                self.mesh, num_classes=num_classes, axis_name=res_axis
-            )
+            if self._store_sharded:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                pts, labels = pad_store_rows(pts, labels, self.mesh.size)
+                rows = NamedSharding(self.mesh, PartitionSpec(res_axis))
+                self._store_dev = {
+                    "points": jax.device_put(pts, rows),
+                    "labels": jax.device_put(labels, rows),
+                    "wtable": jax.device_put(wtable, replicated(self.mesh)),
+                }
+                self._say(
+                    f"device_store: rows sharded over {self.mesh.size} "
+                    f"devices ({pts.nbytes / 2**30 / self.mesh.size:.2f} "
+                    "GiB/device)",
+                    flush=True,
+                )
+                res_step = make_resident_sharded_train_step(
+                    self.mesh, num_classes=num_classes, axis_name=res_axis
+                )
+            else:
+                store = {"points": pts, "labels": labels, "wtable": wtable}
+                self._store_dev = (
+                    jax.device_put(store, replicated(self.mesh))
+                    if self.mesh.size > 1
+                    else jax.device_put(store)
+                )
+                res_step = make_resident_train_step(
+                    self.mesh, num_classes=num_classes, axis_name=res_axis
+                )
             self._train_step = lambda s, b, r, _f=res_step: _f(
                 s, self._store_dev, b, r
             )
             if self.fused_steps > 1:
-                res_fused = make_resident_fused_train_step(
-                    self.mesh, num_classes=num_classes, axis_name=res_axis
-                )
+                if self._store_sharded:
+                    res_fused = make_resident_sharded_fused_train_step(
+                        self.mesh, num_classes=num_classes, axis_name=res_axis
+                    )
+                else:
+                    res_fused = make_resident_fused_train_step(
+                        self.mesh, num_classes=num_classes, axis_name=res_axis
+                    )
                 self._fused_train_step = lambda s, b, r, _f=res_fused: _f(
                     s, self._store_dev, b, r
                 )
@@ -903,9 +951,16 @@ class WholeSceneSolver(Solver):
         # so validation tilings are comparable across epochs
         self.train_dataset.set_epoch(epoch + 1)
         losses, cms = [], []
+        fetch_times = []
         iters = len(self.train_loader)
+        last = time.time()
         for it, (scene_id, micro_batches) in enumerate(self.train_loader.scenes()):
+            # host wait for this scene's data (get_scene's per-column
+            # resample + weight build happen at the generator yield) — the
+            # reference's fetch_time analog for --use_wholescene
+            # (lib/dataset.py:293-353 + lib/solver.py:423-441)
             t_iter = time.time()
+            fetch_times.append(t_iter - last)
             grads_sum = None
             stats_sum = None
             loss_sum = None
@@ -932,6 +987,14 @@ class WholeSceneSolver(Solver):
             cms.append(np.asarray(cm_sum))
             if verbose and (it + 1) % verbose == 0:
                 pm = M.confusion_to_point_metrics(np.sum(cms[-verbose:], axis=0))
+                # one "iter" = one scene (one optimizer update); the loss
+                # fetch above settled the device, so step is the real
+                # accumulate+apply wall time for this scene
+                iters_left = (epochs - epoch) * iters - (it + 1)
+                mean_iter = (time.time() - t_start) / max(
+                    self._global_iter + it + 1, 1
+                )
+                eta = decode_eta(mean_iter * iters_left)
                 self._say(
                     ITER_REPORT.format(
                         epoch=epoch + 1,
@@ -941,12 +1004,13 @@ class WholeSceneSolver(Solver):
                         loss=float(np.mean(losses[-verbose:])),
                         point_acc=pm["point_acc"],
                         point_miou=pm["point_miou"],
-                        fetch=0.0,
+                        fetch=float(np.mean(fetch_times[-verbose:])),
                         step=time.time() - t_iter,
-                        eta_h=0, eta_m=0, eta_s=0,
+                        eta_h=eta["h"], eta_m=eta["m"], eta_s=eta["s"],
                     ),
                     flush=True,
                 )
+            last = time.time()
         self._global_iter += iters
         cm_total = np.sum(cms, axis=0) if cms else np.zeros(
             (self.num_classes, self.num_classes)

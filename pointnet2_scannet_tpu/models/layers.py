@@ -91,6 +91,44 @@ class MaskedBatchNorm(nn.Module):
         return y.astype(out_dtype)
 
 
+def _mlp_dense(mlp, i: int):
+    """Layer-i Dense of a PointwiseMLP-shaped module (shared so the
+    pregather variant below creates an IDENTICAL param tree)."""
+    return nn.Dense(
+        mlp.widths[i],
+        use_bias=not mlp.bn,
+        kernel_init=nn.initializers.he_normal(),
+        dtype=mlp.dtype,
+        name=f"dense_{i}",
+    )
+
+
+def _mlp_bn_act(mlp, x, i: int, train, bn_momentum, row_mask):
+    """Layer-i BN(+ReLU) tail of a PointwiseMLP-shaped module (same
+    sharing rationale as _mlp_dense)."""
+    if mlp.bn:
+        if row_mask is not None and train:
+            x = MaskedBatchNorm(
+                momentum=0.9 if bn_momentum is None else bn_momentum,
+                epsilon=1e-5,
+                dtype=mlp.dtype,
+                axis_name=mlp.bn_axis_name,
+                name=f"bn_{i}",
+            )(x, row_mask)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9 if bn_momentum is None else bn_momentum,
+                epsilon=1e-5,
+                dtype=mlp.dtype,
+                axis_name=mlp.bn_axis_name,
+                name=f"bn_{i}",
+            )(x)
+    if mlp.last_act or i < len(mlp.widths) - 1:
+        x = nn.relu(x)
+    return x
+
+
 class PointwiseMLP(nn.Module):
     """Stack of Dense(+BN)(+ReLU) layers applied pointwise on the last axis.
 
@@ -126,35 +164,111 @@ class PointwiseMLP(nn.Module):
         row_mask: optional (B,) 0/1 real-row marks — with train=True the BN
         batch statistics exclude padded rows exactly (MaskedBatchNorm; the
         whole-scene grad-accum path pads its trailing micro-batch)."""
-        n = len(self.widths)
-        for i, w in enumerate(self.widths):
-            x = nn.Dense(
-                w,
-                use_bias=not self.bn,
-                kernel_init=nn.initializers.he_normal(),
-                dtype=self.dtype,
-                name=f"dense_{i}",
-            )(x)
-            if self.bn:
-                if row_mask is not None and train:
-                    x = MaskedBatchNorm(
-                        momentum=0.9 if bn_momentum is None else bn_momentum,
-                        epsilon=1e-5,
-                        dtype=self.dtype,
-                        axis_name=self.bn_axis_name,
-                        name=f"bn_{i}",
-                    )(x, row_mask)
-                else:
-                    x = nn.BatchNorm(
-                        use_running_average=not train,
-                        momentum=0.9 if bn_momentum is None else bn_momentum,
-                        epsilon=1e-5,
-                        dtype=self.dtype,
-                        axis_name=self.bn_axis_name,
-                        name=f"bn_{i}",
-                    )(x)
-            if self.last_act or i < n - 1:
-                x = nn.relu(x)
+        for i in range(len(self.widths)):
+            x = _mlp_dense(self, i)(x)
+            x = _mlp_bn_act(self, x, i, train, bn_momentum, row_mask)
+        return x
+
+
+class _Dense0Params(nn.Module):
+    """Bare kernel(+bias) of a layer-0 Dense, with nn.Dense's exact param
+    names/shapes/inits, so PointwiseMLPPregather's "dense_0" is
+    checkpoint-interchangeable with PointwiseMLP's while the math applies
+    the kernel in split (xyz rows / feature rows) form."""
+
+    features: int
+    in_features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+            )
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class PointwiseMLPPregather(nn.Module):
+    """PointwiseMLP whose FIRST Dense consumes the features at SOURCE
+    resolution, BEFORE the neighborhood gather.
+
+    A pointwise Dense commutes with a row gather — gather(f)[j] @ W ==
+    gather(f @ W)[j] — so layer 0 splits its kernel by input rows:
+
+        Dense0([gxyz - c | gather(feats)])
+          == gather(feats @ W_f) + (gxyz - c) @ W_x   (+ bias)
+
+    The feature half gathers widths[0] channels instead of C; the xyz half
+    stays a 3-channel CENTERED gather (centering before any bf16 cast keeps
+    full relative precision, same rationale as the packed-bf16 grouping in
+    ops/neighborhood.py). When C >> widths[0] — the 131-channel multiview
+    recipes (reference README.md:11-12), C = 131 vs widths[0] = 32 — the
+    gather moves ~4x fewer bytes at SA1, and the chunk-select kernel's cost
+    scales with C (vmem_gather_kernel.py).
+
+    Param/variable tree is IDENTICAL to PointwiseMLP for the same widths
+    (shared _mlp_dense/_mlp_bn_act builders + _Dense0Params), so checkpoints
+    move freely between the two paths and models/convert.py is unaffected.
+    Numerics differ from the unfused path only in f32/bf16 summation order.
+    """
+
+    widths: Sequence[int]
+    bn: bool = True
+    last_act: bool = True
+    dtype: jnp.dtype | None = None
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jnp.ndarray | None,
+        features: jnp.ndarray,
+        idx: jnp.ndarray,
+        new_xyz: jnp.ndarray | None,
+        train: bool = False,
+        bn_momentum: jnp.ndarray | float | None = None,
+        row_mask: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """xyz (B, N, 3) + new_xyz (B, M, 3) for the use_xyz form (both None
+        otherwise); features (B, N, C) source rows; idx (B, M, K)."""
+        from pointnet2_scannet_tpu.ops.neighborhood import (
+            group_points,
+            group_with_idx,
+        )
+
+        use_xyz = xyz is not None
+        c_in = features.shape[-1] + (3 if use_xyz else 0)
+        kernel, bias = _Dense0Params(
+            self.widths[0], c_in, not self.bn, name="dense_0"
+        )()
+        dt = self.dtype if self.dtype is not None else features.dtype
+        if use_xyz:
+            k_x, k_f = kernel[:3], kernel[3:]
+        else:
+            k_x, k_f = None, kernel
+        zf = features.astype(dt) @ k_f.astype(dt)  # (B, N, w0)
+        x = group_points(zf, idx)  # (B, M, K, w0)
+        if use_xyz:
+            # centered 3-channel gather in the source dtype, cast AFTER
+            # centering (bf16-safe), then the xyz rows of the kernel
+            gxyz = group_with_idx(idx, xyz, new_xyz, None, use_xyz=True)
+            x = x + gxyz.astype(dt) @ k_x.astype(dt)
+        if bias is not None:
+            x = x + bias.astype(dt)
+        x = _mlp_bn_act(self, x, 0, train, bn_momentum, row_mask)
+        for i in range(1, len(self.widths)):
+            x = _mlp_dense(self, i)(x)
+            x = _mlp_bn_act(self, x, i, train, bn_momentum, row_mask)
         return x
 
 

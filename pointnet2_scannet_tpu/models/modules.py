@@ -71,21 +71,56 @@ class SetAbstraction(nn.Module):
 
         scale_outs = []
         for s, widths in enumerate(self.mlps):
-            if self.npoint is not None:
-                from pointnet2_scannet_tpu.ops.neighborhood import group_with_idx
+            if self.npoint is not None and self._pregather(features, widths):
+                # wide-channel fast path: layer-0 Dense at source resolution,
+                # gather widths[0] channels instead of 3 + C (the multiview
+                # recipes' C=131 vs w0=32; see PointwiseMLPPregather)
+                from pointnet2_scannet_tpu.models.layers import (
+                    PointwiseMLPPregather,
+                )
 
-                grouped = group_with_idx(
-                    idxs[s], xyz, new_xyz, features, use_xyz=self.use_xyz
-                )  # (B, M, K, 3 + C)
+                h = PointwiseMLPPregather(
+                    tuple(widths), bn=self.bn, dtype=self.dtype,
+                    bn_axis_name=self.bn_axis_name, name=f"mlp_{s}",
+                )(
+                    xyz if self.use_xyz else None,
+                    features,
+                    idxs[s],
+                    new_xyz if self.use_xyz else None,
+                    train,
+                    bn_momentum,
+                    row_mask,
+                )
             else:
-                grouped = ops.group_all(xyz, features, use_xyz=self.use_xyz)
-            h = PointwiseMLP(
-                tuple(widths), bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name=f"mlp_{s}"
-            )(grouped, train, bn_momentum, row_mask)
+                if self.npoint is not None:
+                    from pointnet2_scannet_tpu.ops.neighborhood import group_with_idx
+
+                    grouped = group_with_idx(
+                        idxs[s], xyz, new_xyz, features, use_xyz=self.use_xyz
+                    )  # (B, M, K, 3 + C)
+                else:
+                    grouped = ops.group_all(xyz, features, use_xyz=self.use_xyz)
+                h = PointwiseMLP(
+                    tuple(widths), bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name=f"mlp_{s}"
+                )(grouped, train, bn_momentum, row_mask)
             # max over the neighborhood/sample axis, like F.max_pool2d over
             # nsample (pointnet2_modules.py:65-71)
             scale_outs.append(jnp.max(h, axis=2))
         return new_xyz, jnp.concatenate(scale_outs, axis=-1), idx
+
+    def _pregather(self, features, widths) -> bool:
+        """Engage the pregather layer-0 composition? ops_config.pregather_
+        dense forces; auto = wide-channel inputs (C_in >= 2 x widths[0]) in
+        f32/bf16 — f64 stays on the reference-exact composition (the parity
+        suites run the geometry contracts in f64)."""
+        if features is None:
+            return False
+        from pointnet2_scannet_tpu.ops.tuning import ops_config
+
+        if ops_config.pregather_dense is not None:
+            return ops_config.pregather_dense
+        c_in = features.shape[-1] + (3 if self.use_xyz else 0)
+        return features.dtype != jnp.float64 and c_in >= 2 * widths[0]
 
     def _scale_indices(self, xyz, new_xyz):
         """Ball-query indices per scale; MSG's two scales share one fused

@@ -53,6 +53,13 @@ class OpsConfig:
     # gather (half the gather/scatter bytes of the f32 concat, which would
     # otherwise promote the whole payload to f32)
     packed_bf16_group: bool = True
+    # SA layer-0 Dense applied to the features at SOURCE resolution before
+    # the neighborhood gather (PointwiseMLPPregather): the gather then moves
+    # widths[0] channels instead of C. None = auto: engage when the input
+    # channel count is at least 2x the first layer width (the wide-channel
+    # multiview recipes) in f32/bf16 (f64 keeps the reference-exact
+    # composition for the parity suites). True/False force.
+    pregather_dense: bool | None = None
 
 
 ops_config = OpsConfig()

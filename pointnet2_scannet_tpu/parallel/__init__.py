@@ -30,6 +30,8 @@ from pointnet2_scannet_tpu.parallel.step import (
     make_fused_train_step,
     make_resident_train_step,
     make_resident_fused_train_step,
+    make_resident_sharded_train_step,
+    make_resident_sharded_fused_train_step,
 )
 
 __all__ = [
@@ -51,4 +53,6 @@ __all__ = [
     "make_fused_train_step",
     "make_resident_train_step",
     "make_resident_fused_train_step",
+    "make_resident_sharded_train_step",
+    "make_resident_sharded_fused_train_step",
 ]

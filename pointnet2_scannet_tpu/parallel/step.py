@@ -364,6 +364,108 @@ def make_resident_fused_train_step(
     return jax.jit(mapped, donate_argnums=donate_args)
 
 
+def _sharded_store_specs(axis_name: str):
+    """shard_map in_specs for a row-sharded resident store: scene rows split
+    over dp, the small class-weight table replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    return {"points": P(axis_name), "labels": P(axis_name), "wtable": P()}
+
+
+def make_resident_sharded_train_step(
+    mesh: Mesh,
+    *,
+    num_classes: int,
+    axis_name: str,
+    donate: bool = True,
+):
+    """Resident-store train step with the store ROW-SHARDED over dp.
+
+    Same contract as make_resident_train_step, but each device holds only
+    T/dp store rows (capacity scales with the mesh) and
+    materialize_batch_sharded resolves global descriptor ids to
+    (owner, local-row) with an all_gather + psum_scatter exchange
+    (data/resident.py). Multi-device only — a 1-device mesh has nothing to
+    shard; the store leaves must be placed with P(axis_name) on rows
+    (pad_store_rows makes them divisible)."""
+    from jax.sharding import PartitionSpec as P
+
+    from pointnet2_scannet_tpu.data.resident import materialize_batch_sharded
+    from pointnet2_scannet_tpu.engine import train_state as ts
+
+    assert mesh.size > 1 and mesh.axis_names == (axis_name,), (
+        f"sharded resident step wants a multi-device 1-axis ({axis_name},) "
+        f"mesh, got {mesh.axis_names} size {mesh.size}"
+    )
+
+    def step(state, store, batch, rng):
+        return ts.train_step(
+            state,
+            materialize_batch_sharded(store, batch, axis_name),
+            rng,
+            num_classes=num_classes,
+            axis_name=axis_name,
+        )
+
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), _sharded_store_specs(axis_name), P(axis_name), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def make_resident_sharded_fused_train_step(
+    mesh: Mesh,
+    *,
+    num_classes: int,
+    axis_name: str,
+    donate: bool = True,
+):
+    """K sharded-resident-store steps per lax.scan program (the fused form
+    of make_resident_sharded_train_step; batches leaves carry a leading
+    (K, ...) axis). The row-sharded store rides scan-invariant; each scan
+    iteration runs its own all_gather/psum_scatter exchange."""
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    from pointnet2_scannet_tpu.data.resident import materialize_batch_sharded
+    from pointnet2_scannet_tpu.engine import train_state as ts
+
+    assert mesh.size > 1 and mesh.axis_names == (axis_name,), (
+        f"fused sharded resident step wants a multi-device 1-axis "
+        f"({axis_name},) mesh, got {mesh.axis_names} size {mesh.size}"
+    )
+
+    def multi(state, store, batches, rng):
+        def body(st, batch):
+            return ts.train_step(
+                st,
+                materialize_batch_sharded(store, batch, axis_name),
+                rng,
+                num_classes=num_classes,
+                axis_name=axis_name,
+            )
+
+        return lax.scan(body, state, batches)
+
+    mapped = jax.shard_map(
+        multi,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            _sharded_store_specs(axis_name),
+            P(None, axis_name),
+            P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
 def make_shardmap_accum_step(mesh: Mesh, *, num_classes: int, axis_name: str = "dp"):
     """Gradient-accumulation micro-step (whole-scene training) as an explicit
     shard_map: per-shard sum-gradients/loss/count/cm psum'd to global values;

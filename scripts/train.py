@@ -152,6 +152,8 @@ def train(args) -> None:
             "global mesh must span every process's devices (a truncated mesh "
             "would leave some processes outside the collectives and hang)"
         )
+    if args.device_store and args.no_device_store:
+        raise SystemExit("--device_store and --no_device_store conflict")
 
     from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
 
@@ -205,6 +207,8 @@ def train(args) -> None:
             # (the Solver falls back with a warning if the resuming host's
             # run shape doesn't support it)
             overrides["device_store"] = True
+        elif args.no_device_store:
+            overrides["device_store"] = False
         if args.epoch is not None:
             overrides["epochs"] = max(args.epoch, cfg.train.epochs)
         if overrides:
@@ -365,6 +369,13 @@ def parse_args(argv=None):
         "run inside the jitted step (~9x less host->device traffic, no host "
         "collate; identical math to the host path). Single-process dp-only "
         "chunked runs; auto-falls back with a warning otherwise",
+    )
+    p.add_argument(
+        "--no_device_store", action="store_true",
+        help="force the host collate path. Resume symmetry for "
+        "--device_store: a run whose config.json saved device_store=true "
+        "can resume on a smaller-HBM host without abusing "
+        "PN2_DEVICE_STORE_BUDGET_GB to trigger the fallback",
     )
     p.add_argument(
         "--fused_steps", type=int, default=8,

@@ -394,9 +394,12 @@ def test_fullstack_converted_model(capture, monkeypatch, is_msg):
     _converted_model_tier(capture, monkeypatch, is_msg=is_msg, input_channels=0)
 
 
-def test_fullstack_converted_multiview(capture_mv, monkeypatch):
-    """131-channel (xyz + 128 ENet features) SSG — the eval column shape of
-    the reference's 65.75-mIoU multiview recipe (reference README.md:11)."""
+@pytest.mark.parametrize("is_msg", [False, True], ids=["ssg", "msg"])
+def test_fullstack_converted_multiview(capture_mv, monkeypatch, is_msg):
+    """131-channel (xyz + 128 ENet features) eval column shape. SSG is the
+    reference's 65.75-mIoU multiview recipe (reference README.md:11); MSG is
+    its best published config at 67.60 mIoU (reference README.md:12,
+    pointnet2/pointnet2_semseg.py:25-103)."""
     _converted_model_tier(
-        capture_mv, monkeypatch, is_msg=False, input_channels=128
+        capture_mv, monkeypatch, is_msg=is_msg, input_channels=128
     )

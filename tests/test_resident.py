@@ -139,11 +139,13 @@ class TestMaterializeParity:
         assert store_nbytes(store, cfg) == 2 * 1000 * (9 * 4 + 4)
 
 
-def _run_cfg(**train_kw):
+def _run_cfg(augment=False, **train_kw):
     train_kw = {"batch_size": 4, **train_kw}
     return RunConfig(
         tag="resident-test",
-        data=DataConfig(npoints=256, use_color=True, use_normal=True, augment=False),
+        data=DataConfig(
+            npoints=256, use_color=True, use_normal=True, augment=augment
+        ),
         model=ModelConfig(is_msg=False),
         train=TrainConfig(epochs=2, lr=1e-3, verbose=0, seed=0, **train_kw),
     )
@@ -182,6 +184,45 @@ def test_solver_losses_match_host_path(tmp_path):
 
 
 @pytest.mark.slow
+def test_solver_losses_match_host_path_augmented(tmp_path):
+    """AUGMENTED resident path end-to-end through the Solver (ADVICE r4):
+    the rot/trans/scale params must thread through the per-batch step, the
+    fused lax.scan, and the shard_map in_specs. Same rng streams draw the
+    same transforms; the only expected difference is the host applying the
+    rotation in f64 numpy vs the device in f32 (tests above pin the
+    materialize_batch-level coord tolerance), so per-step losses match to a
+    loose tolerance rather than exactly."""
+    store = make_synthetic_store(n_scenes=8, n_points=4000)
+    runs = {}
+    for name, kw in {
+        "host": dict(num_devices=1, fused_steps=1),
+        "resident": dict(num_devices=1, fused_steps=1, device_store=True),
+        "resident_fused": dict(num_devices=1, fused_steps=2, device_store=True),
+    }.items():
+        solver = _solver(_run_cfg(augment=True, **kw), store, tmp_path, f"aug_{name}")
+        assert solver.device_store == kw.get("device_store", False)
+        solver(epochs=2, verbose=0)
+        runs[name] = [v for _, v in solver.logger.scalars["train/loss"]]
+    np.testing.assert_allclose(runs["resident"], runs["host"], rtol=5e-3)
+    np.testing.assert_allclose(runs["resident_fused"], runs["host"], rtol=5e-3)
+    # shard_map_dp leg: the aug params shard over dp alongside the row ids
+    cfg = _run_cfg(
+        augment=True, num_devices=8, fused_steps=2, device_store=True, batch_size=8
+    )
+    sm = {}
+    for name, ds in {"host": False, "resident": True}.items():
+        cfg_i = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, device_store=ds)
+        )
+        solver = _solver(cfg_i, store, tmp_path, f"aug_smdp_{name}", bn_axis="dp")
+        assert solver.parallel_strategy == "shard_map_dp"
+        assert solver.device_store == ds
+        solver(epochs=1, verbose=0)
+        sm[name] = [v for _, v in solver.logger.scalars["train/loss"]]
+    np.testing.assert_allclose(sm["resident"], sm["host"], rtol=5e-3)
+
+
+@pytest.mark.slow
 def test_solver_shardmap_dp_resident(tmp_path):
     """The production shard_map_dp strategy composes with device_store on
     the virtual 8-device mesh and matches the host shard_map run."""
@@ -195,6 +236,100 @@ def test_solver_shardmap_dp_resident(tmp_path):
         solver(epochs=1, verbose=0)
         losses[name] = [v for _, v in solver.logger.scalars["train/loss"]]
     np.testing.assert_allclose(losses["resident"], losses["host"], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_solver_sharded_store_matches_host(tmp_path, monkeypatch):
+    """ROW-SHARDED resident store (capacity x dp, VERDICT r4 weak #2): a
+    budget that holds only 1/2 of the flat store on one device engages the
+    sharded placement on the 8-device mesh, and per-step losses still match
+    the host path exactly — the all_gather/psum_scatter exchange is a pure
+    data-movement identity (each row is contributed by exactly one owner)."""
+    store = make_synthetic_store(n_scenes=16, n_points=4000)
+    cfg = _run_cfg(num_devices=8, fused_steps=2, device_store=True, batch_size=8)
+    nbytes = store_nbytes(store, cfg.data)
+    monkeypatch.setenv("PN2_DEVICE_STORE_BUDGET_GB", str(nbytes / 2 / 2**30))
+    losses = {}
+    for name, kw in {
+        "sharded_fused": dict(device_store=True, fused_steps=2),
+        "sharded": dict(device_store=True, fused_steps=1),
+    }.items():
+        solver = _solver(
+            _run_cfg(num_devices=8, batch_size=8, **kw),
+            store, tmp_path, f"ss_{name}", bn_axis="dp",
+        )
+        assert solver.parallel_strategy == "shard_map_dp"
+        assert solver.device_store and solver._store_sharded
+        solver(epochs=2, verbose=0)
+        losses[name] = [v for _, v in solver.logger.scalars["train/loss"]]
+    monkeypatch.delenv("PN2_DEVICE_STORE_BUDGET_GB")
+    host = _solver(
+        _run_cfg(num_devices=8, fused_steps=2, batch_size=8),
+        store, tmp_path, "ss_host", bn_axis="dp",
+    )
+    host(epochs=2, verbose=0)
+    host_losses = [v for _, v in host.logger.scalars["train/loss"]]
+    np.testing.assert_allclose(losses["sharded_fused"], host_losses, rtol=1e-6)
+    np.testing.assert_allclose(losses["sharded"], host_losses, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_solver_sharded_store_multiview(tmp_path, monkeypatch):
+    """The 128-channel multiview recipe — the store shape that motivated
+    sharding (~63 GB flat at production scale, locked out of the replicated
+    placement) — trains through the sharded store on the virtual mesh and
+    matches its own host-path run."""
+    store = make_synthetic_store(n_scenes=8, n_points=3000)
+    rng = np.random.default_rng(3)
+    for sid in store.scene_ids:
+        store.multiview[sid] = rng.normal(
+            size=(len(store.scenes[sid]), 128)
+        ).astype(np.float32)
+    data = DataConfig(
+        npoints=256, use_color=False, use_normal=False, use_multiview=True,
+        augment=False,
+    )
+    assert data.input_channels == 128
+    losses = {}
+    for name, ds in {"host": False, "sharded": True}.items():
+        cfg = RunConfig(
+            tag="resident-mv",
+            data=data,
+            model=ModelConfig(is_msg=False),
+            train=TrainConfig(
+                batch_size=8, epochs=1, lr=1e-3, verbose=0, seed=0,
+                num_devices=8, fused_steps=2, device_store=ds,
+            ),
+        )
+        if ds:
+            nb = store_nbytes(store, data)
+            monkeypatch.setenv(
+                "PN2_DEVICE_STORE_BUDGET_GB", str(nb / 4 / 2**30)
+            )
+        solver = _solver(cfg, store, tmp_path, f"mv_{name}", bn_axis="dp")
+        assert solver.device_store == ds
+        assert solver._store_sharded == ds
+        solver(epochs=1, verbose=0)
+        losses[name] = [v for _, v in solver.logger.scalars["train/loss"]]
+        if ds:
+            monkeypatch.delenv("PN2_DEVICE_STORE_BUDGET_GB")
+    np.testing.assert_allclose(losses["sharded"], losses["host"], rtol=1e-6)
+
+
+def test_sharded_store_budget_fallback(tmp_path, monkeypatch, capsys):
+    """The budget fallback fires only when even the SHARDED store exceeds
+    the aggregate mesh budget; the warning names the row-sharded bound."""
+    store = make_synthetic_store(n_scenes=8, n_points=2000)
+    cfg = _run_cfg(num_devices=8, device_store=True, batch_size=8)
+    nbytes = store_nbytes(store, cfg.data)
+    # per-device budget below nbytes/8 -> not even 8 shards can hold it
+    monkeypatch.setenv(
+        "PN2_DEVICE_STORE_BUDGET_GB", str(nbytes / 16 / 2**30)
+    )
+    solver = _solver(cfg, store, tmp_path, "fb_shard", bn_axis="dp")
+    assert solver.device_store is False
+    assert solver._store_sharded is False
+    assert "even row-sharded over 8 devices" in capsys.readouterr().out
 
 
 @pytest.mark.slow
