@@ -183,7 +183,7 @@ def eval_scenes_per_sec(n_scenes: int = 6, repeats: int = 3):
     return med, draws
 
 
-def main(scale: bool = False) -> None:
+def main(scale: bool = False, scale_only: bool = False) -> None:
     from pointnet2_scannet_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -192,15 +192,19 @@ def main(scale: bool = False) -> None:
 
     from pointnet2_scannet_tpu import models
 
+    def med(draws: list[float]) -> float:
+        return draws[len(draws) // 2]
+
+    if scale_only:
+        _scale_rows(models, jnp, med)
+        return
+
     # eval first: its host-side pipeline (single-core metrics + producer
     # uploads) measures ~20% slower at the tail of this process (measured:
     # 7.9 standalone -> 5.9 after the eight train benches; jax.clear_caches
     # recovers only part). The train benches are device-side scan programs
     # and don't care about process history.
     eps, eps_draws = eval_scenes_per_sec()
-
-    def med(draws: list[float]) -> float:
-        return draws[len(draws) // 2]
 
     ssg = models.get_model(num_classes=20, is_msg=False, input_channels=6)
     # headline: the train CLI's production path (--fused_steps 8, K steps per
@@ -274,64 +278,78 @@ def main(scale: bool = False) -> None:
     )
 
     if scale:
-        # batch-size scaling study (DESIGN.md §Batch scaling): the data the
-        # first real multi-chip run needs
-        for bs in (64, 128):
-            for label, dt in (("f32", None), ("bf16", jnp.bfloat16)):
-                m = models.get_model(
-                    num_classes=20, is_msg=False, input_channels=6, dtype=dt
+        _scale_rows(models, jnp, med)
+
+
+def _scale_rows(models, jnp, med):
+    """The --scale extra rows (batch-size / multiview / chunk-size studies);
+    shared by --scale (after the headline) and --scale_only."""
+    # batch-size scaling study (DESIGN.md §Batch scaling): the data the
+    # first real multi-chip run needs
+    for bs in (64, 128):
+        for label, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+            m = models.get_model(
+                num_classes=20, is_msg=False, input_channels=6, dtype=dt
+            )
+            s = med(time_train(m, batch_size=bs, fused=FUSED, repeats=TRAIN_REPEATS))
+            print(
+                json.dumps(
+                    {
+                        "metric": f"scale_ssg_{label}_b{bs}",
+                        "value": round(bs * NPOINTS / s, 1),
+                        "unit": "points/sec",
+                        "step_ms": round(s * 1e3, 2),
+                    }
                 )
-                s = time_train(m, batch_size=bs, fused=FUSED)
-                print(
-                    json.dumps(
-                        {
-                            "metric": f"scale_ssg_{label}_b{bs}",
-                            "value": round(bs * NPOINTS / s, 1),
-                            "unit": "points/sec",
-                            "step_ms": round(s * 1e3, 2),
-                        }
-                    )
+            )
+    # multiview recipes (xyz+normal+multiview = 131 feature channels —
+    # the reference's best-mIoU configs, README.md:11-12): the heaviest
+    # input the framework trains; exercises the wide-C SA1 grouping path
+    for is_msg, name in ((False, "ssg"), (True, "msg")):
+        for label, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+            m = models.get_model(
+                num_classes=20, is_msg=is_msg, input_channels=131, dtype=dt
+            )
+            s = med(time_train(m, fused=FUSED, repeats=TRAIN_REPEATS))
+            print(
+                json.dumps(
+                    {
+                        "metric": f"scale_{name}_mv131_{label}",
+                        "value": round(BATCH * NPOINTS / s, 1),
+                        "unit": "points/sec",
+                        "step_ms": round(s * 1e3, 2),
+                    }
                 )
-        # multiview recipes (xyz+normal+multiview = 131 feature channels —
-        # the reference's best-mIoU configs, README.md:11-12): the heaviest
-        # input the framework trains; exercises the wide-C SA1 grouping path
-        for is_msg, name in ((False, "ssg"), (True, "msg")):
-            for label, dt in (("f32", None), ("bf16", jnp.bfloat16)):
-                m = models.get_model(
-                    num_classes=20, is_msg=is_msg, input_channels=131, dtype=dt
+            )
+    # chunk-size scaling at constant points/step (DESIGN.md §Chunk-size
+    # scaling): bigger chunks amortize the sub-SA1 pyramid
+    for npts, bs in ((16384, 16), (32768, 8)):
+        for label, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+            m = models.get_model(
+                num_classes=20, is_msg=False, input_channels=6, dtype=dt
+            )
+            s = med(
+                time_train(
+                    m, batch_size=bs, npoints=npts, fused=FUSED,
+                    repeats=TRAIN_REPEATS,
                 )
-                s = time_train(m, fused=FUSED)
-                print(
-                    json.dumps(
-                        {
-                            "metric": f"scale_{name}_mv131_{label}",
-                            "value": round(BATCH * NPOINTS / s, 1),
-                            "unit": "points/sec",
-                            "step_ms": round(s * 1e3, 2),
-                        }
-                    )
+            )
+            print(
+                json.dumps(
+                    {
+                        "metric": f"scale_ssg_{label}_b{bs}_n{npts}",
+                        "value": round(bs * npts / s, 1),
+                        "unit": "points/sec",
+                        "step_ms": round(s * 1e3, 2),
+                    }
                 )
-        # chunk-size scaling at constant points/step (DESIGN.md §Chunk-size
-        # scaling): bigger chunks amortize the sub-SA1 pyramid
-        for npts, bs in ((16384, 16), (32768, 8)):
-            for label, dt in (("f32", None), ("bf16", jnp.bfloat16)):
-                m = models.get_model(
-                    num_classes=20, is_msg=False, input_channels=6, dtype=dt
-                )
-                s = time_train(m, batch_size=bs, npoints=npts, fused=FUSED)
-                print(
-                    json.dumps(
-                        {
-                            "metric": f"scale_ssg_{label}_b{bs}_n{npts}",
-                            "value": round(bs * npts / s, 1),
-                            "unit": "points/sec",
-                            "step_ms": round(s * 1e3, 2),
-                        }
-                    )
-                )
+            )
 
 
 if __name__ == "__main__":
     import sys
 
-    main(scale="--scale" in sys.argv)
+    main(
+        scale="--scale" in sys.argv,
+        scale_only="--scale_only" in sys.argv,
+    )

@@ -71,7 +71,7 @@ class SetAbstraction(nn.Module):
 
         scale_outs = []
         for s, widths in enumerate(self.mlps):
-            if self.npoint is not None and self._pregather(features, widths):
+            if self.npoint is not None and self._pregather(features, widths, train):
                 # wide-channel fast path: layer-0 Dense at source resolution,
                 # gather widths[0] channels instead of 3 + C (the multiview
                 # recipes' C=131 vs w0=32; see PointwiseMLPPregather)
@@ -108,11 +108,20 @@ class SetAbstraction(nn.Module):
             scale_outs.append(jnp.max(h, axis=2))
         return new_xyz, jnp.concatenate(scale_outs, axis=-1), idx
 
-    def _pregather(self, features, widths) -> bool:
+    def _pregather(self, features, widths, train) -> bool:
         """Engage the pregather layer-0 composition? ops_config.pregather_
-        dense forces; auto = wide-channel inputs (C_in >= 2 x widths[0]) in
-        f32/bf16 — f64 stays on the reference-exact composition (the parity
-        suites run the geometry contracts in f64)."""
+        dense forces; auto = wide-channel inputs (C_in >= 2 x widths[0]),
+        where the win envelope is dtype-dependent (scripts/bench_pregather.py
+        at the mv131 recipes):
+          - f32: always — the fwd gather saving (62.6 -> 29.6 ms at SA1)
+            outweighs the backward's new dz scatter (train step 91.4 -> 76.3
+            ms SSG, 130.3 -> 100.4 MSG);
+          - bf16: eval only — the packed-bf16 grouping already halves the fwd
+            gather, so in training the dz scatter wins out (54.9 -> 61.8 ms
+            step, a LOSS), while the forward-only composition still wins
+            (33.4 -> 24.8 ms at SA1);
+          - f64: never — the parity suites pin the reference-exact
+            composition there."""
         if features is None:
             return False
         from pointnet2_scannet_tpu.ops.tuning import ops_config
@@ -120,7 +129,11 @@ class SetAbstraction(nn.Module):
         if ops_config.pregather_dense is not None:
             return ops_config.pregather_dense
         c_in = features.shape[-1] + (3 if self.use_xyz else 0)
-        return features.dtype != jnp.float64 and c_in >= 2 * widths[0]
+        if c_in < 2 * widths[0]:
+            return False
+        if features.dtype == jnp.float32:
+            return True
+        return features.dtype == jnp.bfloat16 and not train
 
     def _scale_indices(self, xyz, new_xyz):
         """Ball-query indices per scale; MSG's two scales share one fused

@@ -114,18 +114,24 @@ def test_grad_parity(pregather_flag):
 
 
 def test_auto_gate():
-    """Auto engages only at C_in >= 2 x widths[0] and never in f64: the
-    C=9 flagship recipe keeps its parity-pinned composition."""
+    """Auto engages only at C_in >= 2 x widths[0], with the measured dtype
+    envelope (f32 always, bf16 eval-only, f64 never — see
+    SetAbstraction._pregather): the C=9 flagship recipe keeps its
+    parity-pinned composition."""
     sa = _sa(True)
     f32 = jnp.zeros((1, 8, 6), jnp.float32)
     wide = jnp.zeros((1, 8, 80), jnp.float32)
-    assert not sa._pregather(f32, [32, 32, 64])  # 9 < 64
-    assert sa._pregather(wide, [32, 32, 64])  # 83 >= 64
-    assert not sa._pregather(None, [32, 32, 64])
+    assert not sa._pregather(f32, [32, 32, 64], False)  # 9 < 64
+    assert sa._pregather(wide, [32, 32, 64], False)  # 83 >= 64
+    assert sa._pregather(wide, [32, 32, 64], True)  # f32: train too
+    assert not sa._pregather(None, [32, 32, 64], False)
+    bf16 = jnp.zeros((1, 8, 80), jnp.bfloat16)
+    assert sa._pregather(bf16, [32, 32, 64], False)  # bf16 eval: fwd-only win
+    assert not sa._pregather(bf16, [32, 32, 64], True)  # bf16 train: loss
     jax.config.update("jax_enable_x64", True)
     try:
         f64 = jnp.zeros((1, 8, 80), jnp.float64)
-        assert not sa._pregather(f64, [32, 32, 64])
+        assert not sa._pregather(f64, [32, 32, 64], False)
     finally:
         jax.config.update("jax_enable_x64", False)
 
