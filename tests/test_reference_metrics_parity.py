@@ -106,6 +106,16 @@ def ref_stack(tmp_path_factory):
     spec.loader.exec_module(ref_eval)
     import lib.dataset as ref_dataset
 
+    # lib.dataset may ALREADY be imported by another parity module (the
+    # eval-parity suite runs first in the full lane) holding the CONF object
+    # of a PREVIOUS _install_shims call, mutated to THAT module's scene dir —
+    # re-pin the object the cached module actually reads (same pattern as
+    # test_reference_eval_parity._make_capture; order-dependent leak observed
+    # as scene0003_00.npy lookups in the eval-parity capture dir)
+    ref_dataset.CONF.SCANNETV2_FILE = str(scene_dir) + "/{}.npy"
+    ref_dataset.CONF.NUM_CLASSES = 20
+    ref_dataset.CONF.MULTIVIEW = str(scene_dir) + "/none.hdf5"
+
     return ref_eval, ref_dataset, scenes, str(scene_dir)
 
 
